@@ -1,0 +1,39 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
+exercised without TPU hardware (see SURVEY.md section 4).  x64 is enabled to
+match the reference's double-precision semantics in golden-value tests; the
+TPU execution path itself is float32 (exercised via explicit casts in the
+f32-marked tests and by bench.py on hardware).
+"""
+
+import os
+
+# Force CPU: the session environment points JAX at the remote TPU tunnel
+# (JAX_PLATFORMS=axon, re-forced by the sitecustomize hook), which would
+# route every test op over the wire.  The jax.config update below overrides
+# the hook; the env vars cover subprocesses.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import pathlib  # noqa: E402
+
+import pytest  # noqa: E402
+
+REFERENCE_ROOT = pathlib.Path("/root/reference")
+
+
+@pytest.fixture(scope="session")
+def reference_root() -> pathlib.Path:
+    if not REFERENCE_ROOT.exists():
+        pytest.skip("reference dataset not mounted at /root/reference")
+    return REFERENCE_ROOT
