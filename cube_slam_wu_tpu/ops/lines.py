@@ -1,0 +1,128 @@
+"""Line-segment tensor utilities: padded sets + masks, merge, filtering.
+
+Fixed-shape replacements for the reference's line handling in the proposal
+engine: `align_left_right_edges` (object_3d_util.cpp:246-258),
+`merge_break_lines` (object_3d_util.cpp:431-543) and the inside-box edge
+filter (box_proposal_detail.cpp:271-283).  Variable-count line sets become a
+(L, 4) array `[x1 y1 x2 y2]` plus a boolean validity mask; the greedy merge
+is reproduced as a `lax.while_loop` that merges the lexicographically-first
+candidate pair per iteration (the reference restarts its O(n^2) scan after
+every merge, so first-match order is exactly its behaviour).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.inf
+
+
+def align_left_right(lines: jnp.ndarray) -> jnp.ndarray:
+    """Ensure each segment's first endpoint has the smaller x
+    (object_3d_util.cpp:246-258)."""
+    flip = lines[..., 2] < lines[..., 0]
+    swapped = jnp.concatenate([lines[..., 2:4], lines[..., 0:2]], axis=-1)
+    return jnp.where(flip[..., None], swapped, lines)
+
+
+def line_angles(lines: jnp.ndarray) -> jnp.ndarray:
+    """atan2(dy, dx); with left-to-right segments this is in [-pi/2, pi/2]."""
+    return jnp.arctan2(lines[..., 3] - lines[..., 1], lines[..., 2] - lines[..., 0])
+
+
+def line_lengths(lines: jnp.ndarray) -> jnp.ndarray:
+    return jnp.hypot(lines[..., 2] - lines[..., 0], lines[..., 3] - lines[..., 1])
+
+
+def line_midpoints(lines: jnp.ndarray) -> jnp.ndarray:
+    return 0.5 * (lines[..., 0:2] + lines[..., 2:4])
+
+
+def inside_box_mask(lines: jnp.ndarray, top_left, bottom_right) -> jnp.ndarray:
+    """Both endpoints inside [top_left, bottom_right] (inclusive), matching
+    check_inside_box (object_3d_util.cpp:239-242)."""
+    def inside(pt):
+        return (
+            (top_left[0] <= pt[..., 0])
+            & (pt[..., 0] <= bottom_right[0])
+            & (top_left[1] <= pt[..., 1])
+            & (pt[..., 1] <= bottom_right[1])
+        )
+
+    return inside(lines[..., 0:2]) & inside(lines[..., 2:4])
+
+
+def _angle_diff_half(a, b):
+    d = jnp.abs(a - b)
+    return jnp.minimum(d, jnp.pi - d)
+
+
+def merge_break_lines(
+    lines: jnp.ndarray,
+    mask: jnp.ndarray,
+    dist_thresh: float = 20.0,
+    angle_thresh_deg: float = 5.0,
+    min_length: float = 30.0,
+    max_iters: int = 500,
+):
+    """Greedy merge of nearly-collinear, endpoint-adjacent segments, then
+    length filtering (object_3d_util.cpp:431-543).
+
+    Returns (lines, mask). One pair is merged per while-loop iteration — the
+    lexicographically-first (seg1, seg2) candidate, exactly the pair the
+    reference's restarted double loop commits.  Merged result is written into
+    seg1's slot and seg2 is deactivated (the reference's fast_RemoveRow
+    reorders rows but the candidate *set* after a merge is identical, and the
+    restarted scan makes selection order-insensitive across iterations).
+    """
+    L = lines.shape[0]
+    ang_thr = jnp.deg2rad(angle_thresh_deg)
+    pair_rank = jnp.arange(L)[:, None] * L + jnp.arange(L)[None, :]
+    upper = jnp.arange(L)[:, None] < jnp.arange(L)[None, :]
+
+    def find_candidate(lines, mask):
+        ang = line_angles(lines)
+        angle_ok = _angle_diff_half(ang[:, None], ang[None, :]) < ang_thr
+        tail, head = lines[:, 2:4], lines[:, 0:2]
+        d12 = jnp.linalg.norm(tail[:, None, :] - head[None, :, :], axis=-1)
+        d21 = jnp.linalg.norm(tail[None, :, :] - head[:, None, :], axis=-1)
+        dist_ok = (d12 < dist_thresh) | (d21 < dist_thresh)
+        # merged endpoints: leftmost head, rightmost tail
+        i_head_first = lines[:, None, 0] < lines[None, :, 0]
+        mstart = jnp.where(i_head_first[..., None], head[:, None, :], head[None, :, :])
+        i_tail_last = lines[:, None, 2] > lines[None, :, 2]
+        mend = jnp.where(i_tail_last[..., None], tail[:, None, :], tail[None, :, :])
+        mang = jnp.arctan2(mend[..., 1] - mstart[..., 1], mend[..., 0] - mstart[..., 0])
+        merge_ok = _angle_diff_half(ang[:, None], mang) < ang_thr
+        cand = (
+            upper
+            & mask[:, None]
+            & mask[None, :]
+            & angle_ok
+            & dist_ok
+            & merge_ok
+        )
+        rank = jnp.where(cand, pair_rank, L * L)
+        best = jnp.argmin(rank.reshape(-1))
+        found = rank.reshape(-1)[best] < L * L
+        return found, best // L, best % L, mstart, mend
+
+    def cond(state):
+        _, _, found, it = state
+        return jnp.logical_and(found, it < max_iters)
+
+    def body(state):
+        lines, mask, _, it = state
+        found, i, j, mstart, mend = find_candidate(lines, mask)
+        new_line = jnp.concatenate([mstart[i, j], mend[i, j]])
+        lines = jnp.where(found, lines.at[i].set(new_line), lines)
+        mask = jnp.where(found, mask.at[j].set(False), mask)
+        return lines, mask, found, it + 1
+
+    lines, mask, _, _ = jax.lax.while_loop(
+        cond, body, (lines, mask, jnp.asarray(True), jnp.asarray(0))
+    )
+    if min_length > 0:
+        mask = mask & (line_lengths(lines) > min_length)
+    return lines, mask

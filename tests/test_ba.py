@@ -1,0 +1,111 @@
+"""Bundle-adjustment tests: LM convergence on synthetic graphs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cube_slam_wu_tpu.core.cuboid import Cuboid
+from cube_slam_wu_tpu.core.se3 import SE3
+from cube_slam_wu_tpu.slam import ba
+from cube_slam_wu_tpu.slam.graph import CameraObjectGraph, graph_chi2
+
+
+def _make_synthetic(F=8, n_active=6, noise=0.05, seed=0):
+    """Ground-truth trajectory + cuboid; perfect odometry and cuboid
+    measurements; initial estimates perturbed."""
+    rng = np.random.default_rng(seed)
+    # smooth trajectory: camera moves along x, looking forward
+    t = np.linspace(0, 1, F)
+    true_Twc = SE3.exp(
+        jnp.asarray(
+            np.stack(
+                [0.1 * t, 0.05 * t, 0.2 * t, 1.0 * t, 0.2 * t, 0.1 * t], axis=1
+            )
+        )
+    )
+    true_Tcw = true_Twc.inverse()
+    cube_true = Cuboid.from_minimal(
+        jnp.asarray([0.5, 2.0, 0.3, 0.0, 0.0, 0.7, 0.4, 0.3, 0.3])
+    )
+
+    graph = CameraObjectGraph.empty(F)
+    # odometry measurements: exact relative transforms
+    odom = []
+    for i in range(F):
+        if i == 0:
+            odom.append(SE3.identity())
+        else:
+            odom.append(true_Tcw[i].compose(true_Tcw[i - 1].inverse()))
+    odom = jax.tree.map(lambda *xs: jnp.stack(xs), *odom)
+
+    # cuboid measurements in each camera frame (exact)
+    meas = cube_true.transform_to(true_Twc)
+
+    active = jnp.arange(F) < n_active
+    # initial estimates: truth perturbed (frame 0 exact = fixed)
+    pert = rng.normal(size=(F, 6)) * noise
+    pert[0] = 0
+    init_Tcw = SE3.exp(jnp.asarray(pert)).compose(true_Tcw)
+    cube_init = cube_true.exp_update(jnp.asarray(rng.normal(size=9) * noise))
+
+    graph = graph._replace(
+        cam_Tcw=init_Tcw,
+        cube=cube_init,
+        frame_mask=active,
+        cube_valid=jnp.asarray(True),
+        odom=odom,
+        odom_mask=active & (jnp.arange(F) > 0),
+        cube_meas=meas,
+        cube_meas_weight=jnp.ones(F) * 1.8,
+        cube_meas_mask=active,
+    )
+    return graph, true_Tcw, cube_true
+
+
+def test_lm_converges_to_truth():
+    graph, true_Tcw, cube_true = _make_synthetic()
+    chi2_init = float(graph_chi2(graph, graph.cam_Tcw, graph.cube))
+    res = ba.optimize(graph, iterations=10)
+    chi2_fin = float(res.chi2)
+    assert chi2_fin < 1e-10, (chi2_init, chi2_fin)
+    # poses converge to truth where active (up to gauge fixed by frame 0)
+    err = np.asarray(res.cam_Tcw.compose(true_Tcw.inverse()).log())
+    assert np.abs(err[:6]).max() < 1e-5
+    cube_err = np.asarray(res.cube.log_error(cube_true))
+    assert np.abs(cube_err).max() < 1e-5
+
+
+def test_fixed_first_frame_does_not_move():
+    graph, _, _ = _make_synthetic()
+    before = jax.tree.map(np.asarray, graph.cam_Tcw[0])
+    res = ba.optimize(graph, iterations=5)
+    after = jax.tree.map(np.asarray, res.cam_Tcw[0])
+    np.testing.assert_allclose(after.quat, before.quat, atol=1e-12)
+    np.testing.assert_allclose(after.trans, before.trans, atol=1e-12)
+
+
+def test_masked_frames_untouched():
+    graph, _, _ = _make_synthetic(F=8, n_active=6)
+    before = np.asarray(graph.cam_Tcw.trans[6:])
+    res = ba.optimize(graph, iterations=5)
+    after = np.asarray(res.cam_Tcw.trans[6:])
+    np.testing.assert_allclose(after, before, atol=1e-9)
+
+
+def test_chi2_monotone_overall():
+    graph, _, _ = _make_synthetic(noise=0.2, seed=3)
+    c0 = float(graph_chi2(graph, graph.cam_Tcw, graph.cube))
+    res = ba.optimize(graph, iterations=5)
+    assert float(res.chi2) < c0 * 0.01
+
+
+def test_noisy_measurements_still_converge():
+    """With noisy odometry, LM should still reduce chi2 and stay finite."""
+    graph, true_Tcw, _ = _make_synthetic(noise=0.1, seed=5)
+    rng = np.random.default_rng(7)
+    noisy_odom = SE3.exp(jnp.asarray(rng.normal(size=(8, 6)) * 0.01)).compose(graph.odom)
+    graph = graph._replace(odom=noisy_odom)
+    c0 = float(graph_chi2(graph, graph.cam_Tcw, graph.cube))
+    res = ba.optimize(graph, iterations=8)
+    assert np.isfinite(float(res.chi2))
+    assert float(res.chi2) < c0

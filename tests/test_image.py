@@ -1,0 +1,72 @@
+"""Image op tests: exact EDT vs scipy, Canny behaviour on synthetic shapes."""
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.ndimage as ndi
+
+from cube_slam_wu_tpu.ops import image as image_ops
+
+
+def test_edt_matches_scipy_exact():
+    rng = np.random.default_rng(0)
+    edge = rng.random((60, 83)) < 0.02
+    edge[0, 0] = True  # ensure nonempty
+    ours = np.asarray(image_ops.distance_transform(jnp.asarray(edge)))
+    # scipy: distance to nearest zero; invert mask
+    ref = ndi.distance_transform_edt(~edge)
+    np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+
+def test_edt_empty_edges_large():
+    edge = jnp.zeros((16, 16), bool)
+    out = np.asarray(image_ops.distance_transform(edge))
+    assert np.all(out > 1e3)
+
+
+def test_canny_detects_square_outline():
+    img = np.zeros((64, 64))
+    img[20:44, 16:48] = 200.0
+    edges = np.asarray(image_ops.canny(jnp.asarray(img), 80.0, 200.0))
+    # edges hug the square boundary, none deep inside or far outside
+    assert edges[18:22, 30].any() and edges[42:46, 30].any()
+    assert edges[32, 14:18].any() and edges[32, 46:50].any()
+    assert not edges[30:34, 28:36].any()
+    assert not edges[:10].any() and not edges[-10:].any()
+
+
+def test_canny_hysteresis_links_weak_to_strong():
+    # gradient ramp edge: one segment strong, contiguous weak part kept,
+    # isolated weak part dropped
+    img = np.zeros((40, 80))
+    img[:, 40:] = 120.0  # uniform step edge, |gx|+|gy| = 4*120 > 200 strong
+    strong = np.asarray(image_ops.canny(jnp.asarray(img), 80.0, 200.0))
+    assert strong[:, 39:41].any()
+    img2 = np.zeros((40, 80))
+    img2[:, 40:] = 30.0  # 4*30 = 120: weak only -> no strong seed -> dropped
+    weak_only = np.asarray(image_ops.canny(jnp.asarray(img2), 80.0, 200.0))
+    assert not weak_only.any()
+
+
+def test_replicate_roi_matches_crop_filter():
+    """Sobel on the replicate-filled buffer == Sobel on the crop with
+    replicate border, inside the ROI."""
+    rng = np.random.default_rng(1)
+    img = rng.random((32, 40)) * 255
+    x0, y0, x1, y1 = 5, 7, 30, 25
+    buf = np.asarray(image_ops.replicate_roi(jnp.asarray(img), x0, y0, x1, y1))
+    gx_full, gy_full = image_ops.sobel3(jnp.asarray(buf))
+    crop = img[y0 : y1 + 1, x0 : x1 + 1]
+    gx_crop, gy_crop = image_ops.sobel3(jnp.asarray(crop))
+    np.testing.assert_allclose(
+        np.asarray(gx_full)[y0 : y1 + 1, x0 : x1 + 1], np.asarray(gx_crop), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(gy_full)[y0 : y1 + 1, x0 : x1 + 1], np.asarray(gy_crop), atol=1e-9
+    )
+
+
+def test_rgb_to_gray_rounding():
+    img = jnp.asarray([[[100.0, 150.0, 200.0]]])
+    out = float(image_ops.rgb_to_gray(img)[0, 0])
+    expect = np.floor(0.299 * 100 + 0.587 * 150 + 0.114 * 200 + 0.5)
+    assert out == expect

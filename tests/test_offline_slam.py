@@ -1,0 +1,60 @@
+"""End-to-end offline SLAM on the bundled 58-frame TUM dataset.
+
+BASELINE config 3: replay the reference's precomputed cuboid detections
+through our incremental LM graph and compare trajectory accuracy against
+BOTH the ground truth and the reference's own committed output
+(object_slam/data/output_cam_poses.txt).
+"""
+
+import numpy as np
+import pytest
+
+from cube_slam_wu_tpu.slam.pipeline import run_offline_slam
+from cube_slam_wu_tpu.utils import io as uio
+from cube_slam_wu_tpu.utils.metrics import ate_rmse
+
+BASE = "/root/reference/object_slam/data/"
+
+
+@pytest.fixture(scope="module")
+def slam_output(reference_root):
+    return run_offline_slam(BASE)
+
+
+def test_ate_beats_reference(slam_output, reference_root):
+    truth = uio.read_number_txt(BASE + "truth_cam_poses.txt")
+    ref_out = uio.read_number_txt(BASE + "output_cam_poses.txt")
+    est_xyz = slam_output.traj_Twc_xyzq[:, :3]
+
+    ours_direct = ate_rmse(est_xyz, truth[:, 1:4])
+    ref_direct = ate_rmse(ref_out[:, 1:4], truth[:, 1:4])
+    ours_aligned = ate_rmse(est_xyz, truth[:, 1:4], align=True)
+    ref_aligned = ate_rmse(ref_out[:, 1:4], truth[:, 1:4], align=True)
+
+    # parity requirement: within the reference's own error; currently we beat it
+    assert ours_direct <= ref_direct * 1.05, (ours_direct, ref_direct)
+    assert ours_aligned <= ref_aligned * 1.05, (ours_aligned, ref_aligned)
+
+
+def test_first_pose_pinned_to_truth(slam_output, reference_root):
+    truth = uio.read_number_txt(BASE + "truth_cam_poses.txt")
+    np.testing.assert_allclose(
+        slam_output.traj_Twc_xyzq[0, :3], truth[0, 1:4], atol=1e-9
+    )
+
+
+def test_final_cuboid_matches_reference(slam_output, reference_root):
+    """Final optimized cuboid close to the reference's committed object pose
+    (output_obj_poses.txt last row: x y z r p y l w h)."""
+    ref_obj = uio.read_number_txt(BASE + "output_obj_poses.txt")[-1]
+    cube = slam_output.cube_minimal
+    np.testing.assert_allclose(cube[:3], ref_obj[:3], atol=0.08)
+    # yaw modulo pi (front-face ambiguity)
+    dyaw = abs(((cube[5] - ref_obj[5]) + np.pi / 2) % np.pi - np.pi / 2)
+    assert dyaw < 0.15, (cube[5], ref_obj[5])
+    np.testing.assert_allclose(cube[6:9], ref_obj[6:9], atol=0.05)
+
+
+def test_chi2_finite_and_bounded(slam_output, reference_root):
+    assert np.all(np.isfinite(slam_output.chi2))
+    assert slam_output.chi2[-1] < 10.0

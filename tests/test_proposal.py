@@ -1,0 +1,161 @@
+"""Proposal-engine tests: oracle equivalence + demo-fixture regression.
+
+The oracle (tests/oracle_proposal.py) is a naive sequential restatement of
+the reference's proposal loop; the vectorized engine must produce the same
+valid-hypothesis set, scores and winner.
+"""
+
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cube_slam_wu_tpu.ops.proposal import (
+    ProposalConfig,
+    detect_cuboid_single,
+    fuse_normalized_scores,
+)
+from cube_slam_wu_tpu.utils import io as uio
+
+from oracle_proposal import detect_cuboid_oracle, fuse_scores
+
+FIXTURE = pathlib.Path("/root/reference/detect_3d_cuboid/data")
+
+
+def test_fuse_matches_oracle_random():
+    rng = np.random.default_rng(0)
+    for trial in range(8):
+        n = int(rng.integers(2, 60))
+        d = rng.random(n) * 3
+        a = rng.random(n) * 2
+        ref_scores, ref_keep = fuse_scores(d, a)
+        pad = 80
+        dj = np.full(pad, 1e9)
+        aj = np.full(pad, 1e9)
+        valid = np.zeros(pad, bool)
+        dj[:n], aj[:n], valid[:n] = d, a, True
+        scores, kept = fuse_normalized_scores(
+            jnp.asarray(dj), jnp.asarray(aj), jnp.asarray(valid), 0.8, True
+        )
+        scores, kept = np.asarray(scores), np.asarray(kept)
+        assert sorted(np.nonzero(kept)[0].tolist()) == sorted(ref_keep)
+        got = scores[sorted(ref_keep)]
+        np.testing.assert_allclose(got, ref_scores[np.argsort(ref_keep)], atol=1e-9)
+
+
+@pytest.fixture(scope="module")
+def demo_inputs():
+    if not FIXTURE.exists():
+        pytest.skip("reference fixture not available")
+    gray = jnp.asarray(uio.load_image_gray(FIXTURE / "0000_rgb_raw.jpg"))
+    edges = uio.read_number_txt(FIXTURE / "edge_detection/LSD/0000_edge.txt")
+    K = np.array([[529.5, 0, 365.0], [0, 529.5, 265.0], [0, 0, 1.0]])
+    T_wc = np.array(
+        [
+            [1, 0.0011, 0.0004, 0],
+            [0, -0.3376, 0.9413, 0],
+            [0.0011, -0.9413, -0.3376, 1.35],
+            [0, 0, 0, 1.0],
+        ]
+    )
+    bbox = np.array([187.0, 188.0, 201.0, 311.0])
+    L = 320
+    lines = np.zeros((L, 4))
+    lines[: len(edges)] = edges[:, :4]
+    mask = np.zeros(L, bool)
+    mask[: len(edges)] = True
+    return gray, K, T_wc, bbox, lines, mask
+
+
+def test_engine_matches_oracle_on_demo(demo_inputs):
+    """Full hypothesis-set equivalence on the bundled LSD-edge fixture
+    (detect_3d_cuboid/src/main.cpp:29-76 configuration)."""
+    gray, K, T_wc, bbox, lines, mask = demo_inputs
+    cfg = ProposalConfig(max_lines=lines.shape[0])
+    res, intern = detect_cuboid_single(
+        gray,
+        jnp.asarray(K),
+        jnp.asarray(T_wc),
+        jnp.asarray(bbox),
+        jnp.asarray(lines),
+        jnp.asarray(mask),
+        cfg,
+        return_internals=True,
+    )
+    intern = {k: np.asarray(v) for k, v in intern.items()}
+    res = jax.tree.map(np.asarray, res)
+
+    mlines = intern["merged_lines"][intern["merged_mask"]]
+    records, best = detect_cuboid_oracle(
+        intern["dist_map"], mlines, K, T_wc, bbox, intern["yaws"]
+    )
+
+    # identical valid hypothesis sets
+    Y = len(intern["yaws"])
+    T = len(intern["top_xs"])
+    engine_valid = set(np.nonzero(intern["valid"])[0].tolist())
+    oracle_valid = set()
+    for r in records:
+        yi = int(np.argmin(np.abs(intern["yaws"] - r["yaw"])))
+        oracle_valid.add((yi * T + r["top_id"]) * 2 + (r["config"] - 1))
+    assert engine_valid == oracle_valid
+    assert len(records) > 50  # the fixture produces a healthy grid
+
+    # identical per-hypothesis scores (distance lookups may differ by one
+    # pixel at floor boundaries -> small tolerance)
+    for r in records:
+        yi = int(np.argmin(np.abs(intern["yaws"] - r["yaw"])))
+        fi = (yi * T + r["top_id"]) * 2 + (r["config"] - 1)
+        assert abs(intern["dist"][fi] - r["dist"]) < 0.05
+        assert abs(intern["angle"][fi] - r["angle"]) < 1e-3
+
+    # same winner
+    assert res.valid
+    assert res.box_config_type[0] == best["config"]
+    assert res.box_config_type[1] == best["vp1_pos"]
+    np.testing.assert_allclose(res.rotY, best["yaw"], atol=1e-9)
+    np.testing.assert_allclose(res.pos, best["pos"], atol=5e-3)
+    np.testing.assert_allclose(res.scale, best["scale"], atol=5e-3)
+
+
+def test_demo_fixture_regression(demo_inputs):
+    """Pinned winner for the bundled fixture (engine self-regression)."""
+    gray, K, T_wc, bbox, lines, mask = demo_inputs
+    cfg = ProposalConfig(max_lines=lines.shape[0])
+    res = detect_cuboid_single(
+        gray,
+        jnp.asarray(K),
+        jnp.asarray(T_wc),
+        jnp.asarray(bbox),
+        jnp.asarray(lines),
+        jnp.asarray(mask),
+        cfg,
+    )
+    res = jax.tree.map(np.asarray, res)
+    assert res.valid
+    np.testing.assert_allclose(res.pos, [-0.2558, 1.7545, 0.4630], atol=2e-3)
+    np.testing.assert_allclose(res.scale, [0.2391, 0.2383, 0.4630], atol=2e-3)
+    np.testing.assert_allclose(res.rotY, -2.2515, atol=1e-3)
+    assert res.box_config_type.tolist() == [1, 2]
+
+
+def test_engine_f32_same_winner(demo_inputs):
+    """The TPU-precision path must select the same hypothesis."""
+    gray, K, T_wc, bbox, lines, mask = demo_inputs
+    cfg = ProposalConfig(max_lines=lines.shape[0])
+    f32 = jnp.float32
+    res = detect_cuboid_single(
+        gray.astype(f32),
+        jnp.asarray(K, f32),
+        jnp.asarray(T_wc, f32),
+        jnp.asarray(bbox, f32),
+        jnp.asarray(lines, f32),
+        jnp.asarray(mask),
+        cfg,
+    )
+    res = jax.tree.map(np.asarray, res)
+    assert res.valid
+    np.testing.assert_allclose(res.pos, [-0.2558, 1.7545, 0.4630], atol=2e-2)
+    np.testing.assert_allclose(res.rotY, -2.2515, atol=1e-2)
