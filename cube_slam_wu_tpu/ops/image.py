@@ -136,8 +136,11 @@ def canny(
         _, changed, i = state
         return jnp.logical_and(changed, i < max_hysteresis_iters)
 
+    # derive the initial flag from data so its sharding type matches the
+    # body output under shard_map (varying-manual-axes consistency)
+    init_changed = jnp.any(strong) | jnp.logical_not(jnp.any(strong))
     edges, _, _ = jax.lax.while_loop(
-        cond, body, (strong, jnp.asarray(True), jnp.asarray(0))
+        cond, body, (strong, init_changed, jnp.asarray(0))
     )
     return edges
 
@@ -157,7 +160,8 @@ def _edt_1d_columns(edge: jnp.ndarray) -> jnp.ndarray:
             d = jnp.minimum(row, carry + 1.0)
             return d, d
 
-        _, out = jax.lax.scan(step, jnp.full(a.shape[-1:], big), a, reverse=reverse)
+        # full_like on a data row keeps sharding types consistent in shard_map
+        _, out = jax.lax.scan(step, jnp.full_like(a[0], big), a, reverse=reverse)
         return out
 
     fwd = scan_dir(init, False)

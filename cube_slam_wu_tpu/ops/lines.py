@@ -120,8 +120,11 @@ def merge_break_lines(
         mask = jnp.where(found, mask.at[j].set(False), mask)
         return lines, mask, found, it + 1
 
+    # initial flag must be True; deriving it from `mask` keeps its sharding
+    # type ("varying manual axes") consistent under shard_map
+    init_found = jnp.any(mask) | jnp.logical_not(jnp.any(mask))
     lines, mask, _, _ = jax.lax.while_loop(
-        cond, body, (lines, mask, jnp.asarray(True), jnp.asarray(0))
+        cond, body, (lines, mask, init_found, jnp.asarray(0))
     )
     if min_length > 0:
         mask = mask & (line_lengths(lines) > min_length)
