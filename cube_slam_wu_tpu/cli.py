@@ -1,0 +1,193 @@
+"""Command-line entry points (the reference's ROS nodes, without ROS).
+
+  python -m cube_slam_wu_tpu.cli offline --base <object_slam/data> --out out/
+  python -m cube_slam_wu_tpu.cli online  --base <object_slam/data> --out out/
+  python -m cube_slam_wu_tpu.cli detect-lines --image img.jpg --out out/
+  python -m cube_slam_wu_tpu.cli detect-cuboid --image img.jpg --edges e.txt \
+      --bbox x,y,w,h --out out/
+
+Outputs follow the reference's artifact contract: TUM-format
+output_cam_poses.txt / output_obj_poses.txt (main_obj.cpp:305-336),
+saved_edges.txt (detect_lines.cpp:25-106), overlay jpgs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+
+import numpy as np
+
+
+def _write_outputs(out_dir, result, truth):
+    from cube_slam_wu_tpu.utils import io as uio
+    from cube_slam_wu_tpu.utils import viz
+    from cube_slam_wu_tpu.utils.metrics import ate_rmse
+
+    out_dir = pathlib.Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    uio.write_tum_trajectory(
+        out_dir / "output_cam_poses.txt", result.timestamps, result.traj_Twc_xyzq
+    )
+    np.savetxt(out_dir / "output_obj_poses.txt", result.cube_minimal[None], fmt="%.6f")
+    img = viz.trajectory_top_view(result.traj_Twc_xyzq[:, :3], truth[:, 1:4])
+    from PIL import Image
+
+    Image.fromarray(img).save(out_dir / "trajectory_top_view.png")
+    ate = ate_rmse(result.traj_Twc_xyzq[:, :3], truth[:, 1:4])
+    print(f"ATE RMSE vs truth: {ate:.4f} m")
+    print(f"outputs written to {out_dir}")
+
+
+def cmd_offline(args):
+    from cube_slam_wu_tpu.slam.pipeline import run_offline_slam
+    from cube_slam_wu_tpu.utils import io as uio
+
+    result = run_offline_slam(args.base, iterations=args.iterations)
+    truth = uio.read_number_txt(pathlib.Path(args.base) / "truth_cam_poses.txt")
+    _write_outputs(args.out, result, truth)
+
+
+def cmd_online(args):
+    from cube_slam_wu_tpu.slam.pipeline import run_online_slam
+    from cube_slam_wu_tpu.utils import io as uio
+
+    result = run_online_slam(
+        args.base, n_frames=args.frames, iterations=args.iterations
+    )
+    truth = uio.read_number_txt(pathlib.Path(args.base) / "truth_cam_poses.txt")
+    n = len(result.timestamps)
+    _write_outputs(args.out, result, truth[:n])
+
+
+def cmd_detect_lines(args):
+    import jax.numpy as jnp
+
+    from cube_slam_wu_tpu.ops.detect import detect_line_segments
+    from cube_slam_wu_tpu.utils import io as uio
+    from cube_slam_wu_tpu.utils import viz
+
+    gray = jnp.asarray(uio.load_image_gray(args.image))
+    lines, mask = detect_line_segments(gray)
+    lines = np.asarray(lines)[np.asarray(mask)]
+    out_dir = pathlib.Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    np.savetxt(out_dir / "saved_edges.txt", lines, fmt="%.3f")
+    rgb = uio.load_image_rgb(args.image)
+    from PIL import Image
+
+    Image.fromarray(viz.draw_lines_overlay(rgb, lines)).save(
+        out_dir / "saved_edges.jpg"
+    )
+    print(f"{len(lines)} lines -> {out_dir}/saved_edges.txt|jpg")
+
+
+def cmd_detect_cuboid(args):
+    import jax
+    import jax.numpy as jnp
+
+    from cube_slam_wu_tpu.config import DEMO_DETECT_3D
+    from cube_slam_wu_tpu.ops.detect import detect_line_segments
+    from cube_slam_wu_tpu.ops.proposal import ProposalConfig, detect_cuboid_single
+    from cube_slam_wu_tpu.utils import io as uio
+    from cube_slam_wu_tpu.utils import viz
+
+    gray = jnp.asarray(uio.load_image_gray(args.image))
+    if args.edges:
+        edges = uio.read_number_txt(args.edges)
+        L = max(128, int(2 ** np.ceil(np.log2(len(edges) + 1))))
+        lines = np.zeros((L, 4))
+        lines[: len(edges)] = edges[:, :4]
+        mask = np.zeros(L, bool)
+        mask[: len(edges)] = True
+        lines, mask = jnp.asarray(lines), jnp.asarray(mask)
+    else:
+        lines, mask = detect_line_segments(gray)
+    cam = DEMO_DETECT_3D.camera
+    if args.calib:
+        fx, fy, cx, cy = (float(v) for v in args.calib.split(","))
+    else:
+        fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
+    K = jnp.asarray([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+    T_wc = (
+        jnp.asarray(np.loadtxt(args.pose))
+        if args.pose
+        else jnp.asarray(
+            [
+                [1, 0.0011, 0.0004, 0],
+                [0, -0.3376, 0.9413, 0],
+                [0.0011, -0.9413, -0.3376, 1.35],
+                [0, 0, 0, 1.0],
+            ]
+        )
+    )
+    bbox = jnp.asarray([float(v) for v in args.bbox.split(",")])
+    cfg = ProposalConfig(
+        max_lines=int(lines.shape[0]),
+        sample_cam_roll_pitch=args.sample_roll_pitch,
+        nominal_skew_ratio=args.skew,
+    )
+    res = jax.tree.map(
+        np.asarray,
+        detect_cuboid_single(gray, K, T_wc, bbox, lines, mask, cfg),
+    )
+    print(f"valid: {bool(res.valid)}")
+    print(f"pos:   {np.round(res.pos, 4)}")
+    print(f"scale: {np.round(res.scale, 4)}")
+    print(f"rotY:  {float(res.rotY):.4f}")
+    print(f"config:{res.box_config_type}")
+    out_dir = pathlib.Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    rgb = uio.load_image_rgb(args.image)
+    img = viz.draw_cuboid(
+        rgb,
+        res.corners_2d,
+        int(res.box_config_type[0]),
+        int(res.box_config_type[1]),
+    )
+    from PIL import Image
+
+    Image.fromarray(img).save(out_dir / "cuboid_proposal.jpg")
+    print(f"overlay -> {out_dir}/cuboid_proposal.jpg")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="cube_slam_wu_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    po = sub.add_parser("offline", help="offline-mode SLAM over a dataset folder")
+    po.add_argument("--base", required=True)
+    po.add_argument("--out", default="out")
+    po.add_argument("--iterations", type=int, default=5)
+    po.set_defaults(fn=cmd_offline)
+
+    pn = sub.add_parser("online", help="full online mono SLAM")
+    pn.add_argument("--base", required=True)
+    pn.add_argument("--out", default="out")
+    pn.add_argument("--frames", type=int, default=None)
+    pn.add_argument("--iterations", type=int, default=5)
+    pn.set_defaults(fn=cmd_online)
+
+    pl = sub.add_parser("detect-lines", help="line detection on one image")
+    pl.add_argument("--image", required=True)
+    pl.add_argument("--out", default="out")
+    pl.set_defaults(fn=cmd_detect_lines)
+
+    pc = sub.add_parser("detect-cuboid", help="single-image cuboid proposal")
+    pc.add_argument("--image", required=True)
+    pc.add_argument("--bbox", required=True, help="x,y,w,h")
+    pc.add_argument("--edges", default=None, help="precomputed edges txt")
+    pc.add_argument("--calib", default=None, help="fx,fy,cx,cy")
+    pc.add_argument("--pose", default=None, help="4x4 T_wc txt")
+    pc.add_argument("--skew", type=float, default=1.0)
+    pc.add_argument("--sample-roll-pitch", action="store_true")
+    pc.add_argument("--out", default="out")
+    pc.set_defaults(fn=cmd_detect_cuboid)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

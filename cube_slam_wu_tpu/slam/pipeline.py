@@ -68,6 +68,111 @@ def build_offline_frames(data: OfflineData, dtype=jnp.float64) -> tracker.FrameI
     )
 
 
+def run_online_slam(
+    base_folder,
+    n_frames: int | None = None,
+    iterations: int = 5,
+    dtype=jnp.float64,
+    detect_cfg=None,
+    proposal_overrides: dict | None = None,
+    soft_gate_alpha: float | None = 2.0,
+):
+    """Full online mono pipeline over the reference dataset layout: per-frame
+    line detection -> cuboid proposal -> measurement -> incremental BA
+    (mirrors main_obj.cpp online branch, :585-679).
+
+    The front-end runs for all frames up-front (reference semantics allow it:
+    proposals for frames > 0 are generated around the FIRST camera pose with
+    roll/pitch sampling, main_obj.cpp:624-628, so no tracker feedback enters
+    the front-end), then the incremental graph scan consumes the
+    measurements.
+    """
+    import jax
+
+    from cube_slam_wu_tpu.core import rotations as rotu
+    from cube_slam_wu_tpu.ops.detect import DetectConfig, detect_line_segments
+    from cube_slam_wu_tpu.ops.proposal import ProposalConfig, detect_cuboid_single
+
+    base = pathlib.Path(base_folder)
+    truth = uio.read_number_txt(base / "truth_cam_poses.txt")
+    n = truth.shape[0] if n_frames is None else min(n_frames, truth.shape[0])
+
+    detect_cfg = detect_cfg or DetectConfig()
+    over = dict(proposal_overrides or {})
+    over.setdefault("nominal_skew_ratio", 2.0)  # main_obj.cpp:499
+    K_np = np.array([[535.4, 0, 320.1], [0, 539.2, 247.6], [0, 0, 1.0]])
+
+    first_Twc = SE3.from_xyzq(jnp.asarray(truth[0, 1:8], dtype))
+    T0 = np.asarray(first_Twc.matrix())
+    roll0, pitch0, yaw0 = (
+        float(v) for v in rotu.rot_to_euler_zyx(jnp.asarray(T0[:3, :3]))
+    )
+
+    meas9 = np.zeros((n, 9))
+    quality = np.zeros((n,))
+    has = np.zeros((n,), bool)
+
+    K = jnp.asarray(K_np, dtype)
+    T0_j = jnp.asarray(T0, dtype)
+
+    for i in range(n):
+        img_path = base / "raw_imgs" / f"{i:04d}_rgb_raw.jpg"
+        yolo_path = base / "filter_2d_obj_txts" / f"{i:04d}_yolo2_0.15.txt"
+        if not img_path.exists() or not yolo_path.exists():
+            continue
+        yolo = uio.read_number_txt(yolo_path)
+        if yolo.size == 0:
+            continue
+        gray = jnp.asarray(uio.load_image_gray(img_path), dtype)
+        lines, mask = detect_line_segments(gray, detect_cfg)
+        cfg = ProposalConfig(
+            max_lines=int(lines.shape[0]),
+            sample_cam_roll_pitch=(i != 0),  # main_obj.cpp:624
+            **over,
+        )
+        bbox = jnp.asarray(
+            [yolo[0, 0] - 1.0, yolo[0, 1] - 1.0, yolo[0, 2], yolo[0, 3]], dtype
+        )
+        res = detect_cuboid_single(gray, K, T0_j, bbox, lines, mask, cfg)
+        res = jax.tree.map(np.asarray, res)
+        if not bool(res.valid):
+            continue
+        # ground-frame 9-DoF -> camera-frame measurement (main_obj.cpp:649-675)
+        cube_ground = Cuboid.from_minimal(
+            jnp.asarray(
+                [*res.pos, 0.0, 0.0, float(res.rotY), *res.scale], dtype
+            )
+        )
+        roll_new = roll0 + float(res.camera_roll_delta)
+        pitch_new = pitch0 + float(res.camera_pitch_delta)
+        R_new = rotu.euler_zyx_to_rot(
+            jnp.asarray(roll_new, dtype), jnp.asarray(pitch_new, dtype), jnp.asarray(yaw0, dtype)
+        )
+        pose_used = SE3.from_rot_trans(R_new, jnp.asarray(T0[:3, 3], dtype))
+        local = cube_ground.transform_to(pose_used)
+        meas9[i] = np.asarray(local.to_minimal())
+        quality[i] = (1.0 - float(res.normalized_error) + 0.5) / 2.0
+        has[i] = True
+
+    frames = tracker.FrameInput(
+        meas=Cuboid.from_minimal(jnp.asarray(meas9, dtype)),
+        quality=jnp.asarray(quality, dtype),
+        has_meas=jnp.asarray(has),
+        active=jnp.ones((n,), bool),
+    )
+    graph, chi2s = tracker.run_incremental(
+        first_Twc, frames, iterations=iterations, soft_gate_alpha=soft_gate_alpha
+    )
+    traj = np.asarray(graph.cam_Twc().to_xyzq())
+    cube = np.asarray(graph.cube.to_minimal())
+    return SlamOutput(
+        traj_Twc_xyzq=traj,
+        cube_minimal=cube,
+        chi2=np.asarray(chi2s),
+        timestamps=truth[:n, 0],
+    )
+
+
 class SlamOutput(NamedTuple):
     traj_Twc_xyzq: np.ndarray  # (N, 7) x y z qx qy qz qw
     cube_minimal: np.ndarray  # (9,) final cuboid [xyz rpy lwh]

@@ -39,11 +39,25 @@ def _set_cuboid(batch: Cuboid, i, value: Cuboid) -> Cuboid:
     return Cuboid(_set_se3(batch.pose, i, value.pose), batch.scale.at[i].set(value.scale))
 
 
-def make_incremental_step(iterations: int = 5):
+def make_incremental_step(
+    iterations: int = 5,
+    gate_threshold: float | None = None,
+    soft_gate_alpha: float | None = None,
+    soft_gate_power: float = 1.0,
+):
     """Build the scan body: (graph, (index, FrameInput, first_pose)) -> graph.
 
     `first_pose` is the fixed frame-0 camera-to-world pose (the reference
-    uses the first ground-truth pose, main_obj.cpp:526)."""
+    uses the first ground-truth pose, main_obj.cpp:526).
+
+    Innovation gating (beyond the reference, which feeds every detection into
+    the graph unweighted): before inserting a camera-object edge, the 9-d
+    `min_log_error` innovation of the measurement against the CURRENT cuboid
+    estimate (at the constant-velocity predicted pose) is computed;
+    `gate_threshold` drops edges whose innovation norm exceeds it, and
+    `soft_gate_alpha` scales the measurement quality by
+    1/(1 + alpha*innovation).  This is what keeps the online pipeline at
+    trajectory parity despite noisier single-frame detections."""
 
     def step(carry, inp):
         graph: CameraObjectGraph = carry
@@ -64,6 +78,23 @@ def make_incremental_step(iterations: int = 5):
             lambda a, b: jnp.where(i == 0, a, b), first_Tcw, curr_Tcw_pred
         )
 
+        # -- innovation gating against the current cuboid estimate -----------
+        pred_global = frame.meas.transform_from(curr_Tcw.inverse())
+        innovation = jnp.linalg.norm(graph.cube.min_log_error(pred_global))
+        can_gate = graph.cube_valid & (i > 0)
+        quality = frame.quality
+        has_meas = frame.has_meas
+        if soft_gate_alpha is not None:
+            quality = jnp.where(
+                can_gate,
+                quality / (1.0 + soft_gate_alpha * innovation**soft_gate_power),
+                quality,
+            )
+        if gate_threshold is not None:
+            has_meas = has_meas & jnp.where(
+                can_gate, innovation < gate_threshold, True
+            )
+
         # -- write the new frame into the graph ------------------------------
         g = graph._replace(
             cam_Tcw=_set_se3(graph.cam_Tcw, i, curr_Tcw),
@@ -71,8 +102,8 @@ def make_incremental_step(iterations: int = 5):
             odom=_set_se3(graph.odom, i, odom_val),
             odom_mask=graph.odom_mask.at[i].set(frame.active & (i > 0)),
             cube_meas=_set_cuboid(graph.cube_meas, i, frame.meas),
-            cube_meas_weight=graph.cube_meas_weight.at[i].set(2.0 * frame.quality),
-            cube_meas_mask=graph.cube_meas_mask.at[i].set(frame.active & frame.has_meas),
+            cube_meas_weight=graph.cube_meas_weight.at[i].set(2.0 * quality),
+            cube_meas_mask=graph.cube_meas_mask.at[i].set(frame.active & has_meas),
         )
 
         # -- cuboid vertex initialisation at frame 0 (main_obj.cpp:741-750) --
@@ -100,6 +131,9 @@ def run_incremental(
     frames: FrameInput,
     capacity: int | None = None,
     iterations: int = 5,
+    gate_threshold: float | None = None,
+    soft_gate_alpha: float | None = None,
+    soft_gate_power: float = 1.0,
 ):
     """Run incremental SLAM over all frames; returns (graph, chi2_history).
 
@@ -109,7 +143,9 @@ def run_incremental(
     capacity = capacity or n
     dtype = frames.meas.scale.dtype
     graph = CameraObjectGraph.empty(capacity, dtype)
-    step = make_incremental_step(iterations)
+    step = make_incremental_step(
+        iterations, gate_threshold, soft_gate_alpha, soft_gate_power
+    )
 
     idxs = jnp.arange(n)
     first_b = SE3(

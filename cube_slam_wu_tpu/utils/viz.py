@@ -1,0 +1,100 @@
+"""Offline visualization artifacts (replaces the reference's rviz topics).
+
+The reference publishes paths, pose arrays, cuboid MarkerArrays and projected
+cuboid images over ROS (object_slam/src/main_obj.cpp:201-475); here the same
+information is rendered into numpy images / txt dumps.  Edge tables mirror
+get_object_edge_visibility / get_cuboid_draw_edge_markers
+(detect_3d_cuboid/src/object_3d_util.cpp:78-166).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# universal-layout edge tables (object_3d_util.cpp:84-97), 0-based
+_EDGES_CFG1_VP1LEFT = [
+    (2, 3), (3, 0), (3, 7),  # hidden
+    (0, 1), (1, 2), (1, 5), (0, 4), (2, 6), (4, 5), (5, 6), (6, 7), (7, 4),
+]
+_EDGES_CFG1_VP1RIGHT = [
+    (1, 2), (2, 3), (2, 6),
+    (0, 1), (0, 3), (1, 5), (0, 4), (3, 7), (4, 5), (5, 6), (6, 7), (7, 4),
+]
+_EDGES_CFG2 = [
+    (1, 2), (2, 3), (3, 0), (2, 6), (3, 7),
+    (0, 1), (1, 5), (0, 4), (4, 5), (5, 6), (6, 7), (7, 4),
+]
+
+
+def _edge_table(config_id: int, vp1_pos: int):
+    if config_id == 1:
+        return _EDGES_CFG1_VP1LEFT if vp1_pos == 1 else _EDGES_CFG1_VP1RIGHT
+    return _EDGES_CFG2
+
+
+def draw_line(img: np.ndarray, p0, p1, color, thickness: int = 2) -> None:
+    """Simple Bresenham-ish line rasterizer into an (H, W, 3) uint8 image."""
+    h, w = img.shape[:2]
+    x0, y0 = float(p0[0]), float(p0[1])
+    x1, y1 = float(p1[0]), float(p1[1])
+    n = int(max(abs(x1 - x0), abs(y1 - y0), 1)) + 1
+    xs = np.linspace(x0, x1, n)
+    ys = np.linspace(y0, y1, n)
+    r = thickness // 2
+    for dx in range(-r, r + 1):
+        for dy in range(-r, r + 1):
+            xi = np.clip(np.round(xs + dx).astype(int), 0, w - 1)
+            yi = np.clip(np.round(ys + dy).astype(int), 0, h - 1)
+            img[yi, xi] = color
+
+
+def draw_cuboid(
+    img: np.ndarray,
+    corners_2d: np.ndarray,
+    config_id: int = 1,
+    vp1_pos: int = 1,
+    color=(0, 255, 0),
+    hidden_color=(0, 120, 0),
+) -> np.ndarray:
+    """Draw the 12 cuboid edges (hidden edges dimmer), corners_2d is (2, 8)
+    in the universal layout (plot_image_with_cuboid analogue)."""
+    out = img.copy()
+    table = _edge_table(config_id, vp1_pos)
+    n_hidden = 3 if config_id == 1 else 5
+    for k, (a, b) in enumerate(table):
+        c = hidden_color if k < n_hidden else color
+        draw_line(out, corners_2d[:, a], corners_2d[:, b], c, 2)
+    return out
+
+
+def draw_lines_overlay(img: np.ndarray, lines: np.ndarray, color=(255, 0, 0)) -> np.ndarray:
+    """Overlay detected segments (plot_image_with_edges analogue)."""
+    out = img.copy()
+    for l in np.asarray(lines):
+        draw_line(out, l[:2], l[2:4], color, 2)
+    return out
+
+
+def trajectory_top_view(
+    est_xyz: np.ndarray,
+    truth_xyz: np.ndarray | None = None,
+    size: int = 512,
+) -> np.ndarray:
+    """Render an XY top-down view of trajectories into an image."""
+    img = np.full((size, size, 3), 255, np.uint8)
+    pts = [np.asarray(est_xyz)[:, :2]]
+    if truth_xyz is not None:
+        pts.append(np.asarray(truth_xyz)[:, :2])
+    allp = np.concatenate(pts, axis=0)
+    lo = allp.min(axis=0) - 0.2
+    hi = allp.max(axis=0) + 0.2
+    scale = (size - 20) / max(hi - lo)
+
+    def to_px(p):
+        return 10 + (p - lo) * scale
+
+    for arr, color in zip(pts, [(200, 30, 30), (30, 30, 200)]):
+        px = to_px(arr)
+        for a, b in zip(px[:-1], px[1:]):
+            draw_line(img, a, b, color, 2)
+    return img

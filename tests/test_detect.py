@@ -1,0 +1,72 @@
+"""Line-detector behavioural tests: synthetic scenes + fixture recall."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cube_slam_wu_tpu.ops.detect import DetectConfig, detect_line_segments
+from cube_slam_wu_tpu.utils import io as uio
+
+
+def _match(l, r, perp_tol=4.0, ov_min=0.5, ang_tol=0.15):
+    qa, qb = r[:2], r[2:]
+    d = qb - qa
+    L = np.linalg.norm(d) + 1e-9
+    n = np.array([-d[1], d[0]]) / L
+    perp = max(abs((l[:2] - qa) @ n), abs((l[2:] - qa) @ n))
+    ta, tb = (l[:2] - qa) @ d / L**2, (l[2:] - qa) @ d / L**2
+    ov = min(max(ta, tb), 1) - max(min(ta, tb), 0)
+    a1 = np.arctan2(l[3] - l[1], l[2] - l[0])
+    a2 = np.arctan2(r[3] - r[1], r[2] - r[0])
+    da = abs(a1 - a2) % np.pi
+    da = min(da, np.pi - da)
+    return perp < perp_tol and ov > ov_min and da < ang_tol
+
+
+def _detected(gray, cfg=DetectConfig()):
+    lines, mask = detect_line_segments(jnp.asarray(gray), cfg)
+    return np.asarray(lines)[np.asarray(mask)]
+
+
+def test_synthetic_rectangle():
+    img = np.full((120, 160), 40.0)
+    img[30:90, 40:120] = 200.0
+    lines = _detected(img)
+    expected = [
+        np.array([40, 30, 119, 30.0]),
+        np.array([40, 89, 119, 89.0]),
+        np.array([40, 30, 40, 89.0]),
+        np.array([119, 30, 119, 89.0]),
+    ]
+    for e in expected:
+        assert any(_match(l, e) for l in lines), (e, lines[:10])
+
+
+def test_synthetic_diagonal():
+    img = np.full((160, 160), 30.0)
+    ys, xs = np.mgrid[0:160, 0:160]
+    img[(xs + ys) > 160] = 220.0  # diagonal step edge
+    lines = _detected(img)
+    diag = np.array([20.0, 140.0, 140.0, 20.0])
+    assert any(_match(l, diag, perp_tol=4.0, ov_min=0.6) for l in lines)
+
+
+def test_blank_image_no_lines():
+    img = np.full((120, 160), 128.0)
+    lines = _detected(img)
+    assert len(lines) == 0
+
+
+def test_fixture_recall(reference_root):
+    """Recall of the reference's own LSD output on the bundled demo image
+    (behavioural parity target, SURVEY.md section 7.1)."""
+    base = reference_root / "detect_3d_cuboid/data"
+    gray = uio.load_image_gray(base / "0000_rgb_raw.jpg")
+    ref = uio.read_number_txt(base / "edge_detection/LSD/0000_edge.txt")
+    lines = _detected(gray)
+    ref_long = ref[np.hypot(ref[:, 2] - ref[:, 0], ref[:, 3] - ref[:, 1]) > 40]
+    hits = sum(any(_match(l, r) for l in lines) for r in ref_long)
+    recall = hits / len(ref_long)
+    assert recall >= 0.7, recall
+    # and we should not produce a wildly larger set than LSD
+    assert len(lines) < 4 * len(ref)
