@@ -222,3 +222,28 @@ def hamming_match(
     best = jnp.take_along_axis(dist, idx[:, None], axis=-1)[:, 0]
     matched = query_mask & (best < max_dist)
     return idx, best, matched
+
+
+@jax.jit
+def match_lines_filtered(
+    query_words: jnp.ndarray,
+    train_words: jnp.ndarray,
+    query_mask: jnp.ndarray,
+    train_mask: jnp.ndarray,
+    max_dist: int = 25,
+):
+    """Quality matching path: nearest neighbour + mutual-consistency check
+    (the raw `hamming_match` mirrors the reference's NN-only behaviour; for
+    frame-to-frame tracking the mutual check removes most false positives).
+
+    Returns (match_idx, match_dist, matched)."""
+    xor = query_words[:, None, :] ^ train_words[None, :, :]
+    dist = jnp.sum(_popcount32(xor), axis=-1).astype(jnp.int32)
+    big = jnp.iinfo(jnp.int32).max
+    dist = jnp.where(train_mask[None, :] & query_mask[:, None], dist, big)
+    fwd = jnp.argmin(dist, axis=-1)
+    bwd = jnp.argmin(dist, axis=-2)
+    best = jnp.take_along_axis(dist, fwd[:, None], axis=-1)[:, 0]
+    mutual = bwd[fwd] == jnp.arange(dist.shape[0])
+    matched = query_mask & (best < max_dist) & mutual
+    return fwd, best, matched
