@@ -92,11 +92,15 @@ class Cuboid(NamedTuple):
     # -- frame changes ------------------------------------------------------
     def transform_from(self, Twc: SE3) -> "Cuboid":
         """Camera-frame cuboid -> world-frame, Twc = camera-to-world."""
-        return Cuboid(Twc.compose(self.pose), self.scale)
+        pose = Twc.compose(self.pose)
+        scale = jnp.broadcast_to(self.scale, pose.batch_shape + (3,))
+        return Cuboid(pose, scale)
 
     def transform_to(self, Twc: SE3) -> "Cuboid":
         """World-frame cuboid -> camera-frame."""
-        return Cuboid(Twc.inverse().compose(self.pose), self.scale)
+        pose = Twc.inverse().compose(self.pose)
+        scale = jnp.broadcast_to(self.scale, pose.batch_shape + (3,))
+        return Cuboid(pose, scale)
 
     # -- geometry -----------------------------------------------------------
     def corners_3d(self) -> jnp.ndarray:
