@@ -155,7 +155,7 @@ def detect_line_segments(gray: jnp.ndarray, cfg: DetectConfig = DetectConfig()):
     # scatter per peak: occupancy[p, b] += w for inliers of peak p
     # (P, n_pix) masks are ~P*300k bools — instead compute per-peak via a
     # scan over peaks in chunks to bound memory.
-    CH = 8  # peaks per chunk
+    CH = 32  # peaks per chunk (bounds the (CH, n_pixels) intermediates)
 
     def chunk_body(carry, pk):
         th_c, rh_c = pk  # (CH,)

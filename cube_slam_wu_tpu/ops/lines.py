@@ -58,67 +58,78 @@ def _angle_diff_half(a, b):
     return jnp.minimum(d, jnp.pi - d)
 
 
+def _merge_candidates(lines, mask, ang_thr, dist_thresh):
+    """Pairwise merge-candidacy matrix + merged endpoints, mirroring the
+    per-pair conditions of the reference merge (object_3d_util.cpp:459-505).
+
+    Returns (cand (L, L) bool upper-triangular, mstart (L, L, 2),
+    mend (L, L, 2))."""
+    L = lines.shape[0]
+    upper = jnp.arange(L)[:, None] < jnp.arange(L)[None, :]
+    ang = line_angles(lines)
+    angle_ok = _angle_diff_half(ang[:, None], ang[None, :]) < ang_thr
+    tail, head = lines[:, 2:4], lines[:, 0:2]
+    d12 = jnp.linalg.norm(tail[:, None, :] - head[None, :, :], axis=-1)
+    d21 = jnp.linalg.norm(tail[None, :, :] - head[:, None, :], axis=-1)
+    dist_ok = (d12 < dist_thresh) | (d21 < dist_thresh)
+    # merged endpoints: leftmost head, rightmost tail
+    i_head_first = lines[:, None, 0] < lines[None, :, 0]
+    mstart = jnp.where(i_head_first[..., None], head[:, None, :], head[None, :, :])
+    i_tail_last = lines[:, None, 2] > lines[None, :, 2]
+    mend = jnp.where(i_tail_last[..., None], tail[:, None, :], tail[None, :, :])
+    mang = jnp.arctan2(mend[..., 1] - mstart[..., 1], mend[..., 0] - mstart[..., 0])
+    merge_ok = _angle_diff_half(ang[:, None], mang) < ang_thr
+    cand = upper & mask[:, None] & mask[None, :] & angle_ok & dist_ok & merge_ok
+    return cand, mstart, mend
+
+
 def merge_break_lines(
     lines: jnp.ndarray,
     mask: jnp.ndarray,
     dist_thresh: float = 20.0,
     angle_thresh_deg: float = 5.0,
     min_length: float = 30.0,
-    max_iters: int = 500,
+    max_iters: int = 64,
 ):
-    """Greedy merge of nearly-collinear, endpoint-adjacent segments, then
-    length filtering (object_3d_util.cpp:431-543).
+    """Merge nearly-collinear, endpoint-adjacent segments, then length
+    filtering (object_3d_util.cpp:431-543).
 
-    Returns (lines, mask). One pair is merged per while-loop iteration — the
-    lexicographically-first (seg1, seg2) candidate, exactly the pair the
-    reference's restarted double loop commits.  Merged result is written into
-    seg1's slot and seg2 is deactivated (the reference's fast_RemoveRow
-    reorders rows but the candidate *set* after a merge is identical, and the
-    restarted scan makes selection order-insensitive across iterations).
+    TPU-first reformulation of the reference's one-merge-per-scan greedy
+    loop: each round commits ALL mutual-first-choice candidate pairs
+    simultaneously (disjoint by construction), so a chain of k collinear
+    stubs coalesces in O(log k) rounds instead of k sequential scans.  The
+    per-pair merge conditions are identical to the reference's; only the
+    commit order differs, and the reference restarts its scan after every
+    merge, so the final merged set is order-insensitive for
+    non-overlapping chains.
     """
     L = lines.shape[0]
     ang_thr = jnp.deg2rad(angle_thresh_deg)
     pair_rank = jnp.arange(L)[:, None] * L + jnp.arange(L)[None, :]
-    upper = jnp.arange(L)[:, None] < jnp.arange(L)[None, :]
-
-    def find_candidate(lines, mask):
-        ang = line_angles(lines)
-        angle_ok = _angle_diff_half(ang[:, None], ang[None, :]) < ang_thr
-        tail, head = lines[:, 2:4], lines[:, 0:2]
-        d12 = jnp.linalg.norm(tail[:, None, :] - head[None, :, :], axis=-1)
-        d21 = jnp.linalg.norm(tail[None, :, :] - head[:, None, :], axis=-1)
-        dist_ok = (d12 < dist_thresh) | (d21 < dist_thresh)
-        # merged endpoints: leftmost head, rightmost tail
-        i_head_first = lines[:, None, 0] < lines[None, :, 0]
-        mstart = jnp.where(i_head_first[..., None], head[:, None, :], head[None, :, :])
-        i_tail_last = lines[:, None, 2] > lines[None, :, 2]
-        mend = jnp.where(i_tail_last[..., None], tail[:, None, :], tail[None, :, :])
-        mang = jnp.arctan2(mend[..., 1] - mstart[..., 1], mend[..., 0] - mstart[..., 0])
-        merge_ok = _angle_diff_half(ang[:, None], mang) < ang_thr
-        cand = (
-            upper
-            & mask[:, None]
-            & mask[None, :]
-            & angle_ok
-            & dist_ok
-            & merge_ok
-        )
-        rank = jnp.where(cand, pair_rank, L * L)
-        best = jnp.argmin(rank.reshape(-1))
-        found = rank.reshape(-1)[best] < L * L
-        return found, best // L, best % L, mstart, mend
-
-    def cond(state):
-        _, _, found, it = state
-        return jnp.logical_and(found, it < max_iters)
+    big = L * L
 
     def body(state):
         lines, mask, _, it = state
-        found, i, j, mstart, mend = find_candidate(lines, mask)
-        new_line = jnp.concatenate([mstart[i, j], mend[i, j]])
-        lines = jnp.where(found, lines.at[i].set(new_line), lines)
-        mask = jnp.where(found, mask.at[j].set(False), mask)
-        return lines, mask, found, it + 1
+        cand, mstart, mend = _merge_candidates(lines, mask, ang_thr, dist_thresh)
+        # symmetric rank matrix: each segment's first choice over both roles
+        rank = jnp.where(cand, pair_rank, big)
+        rank = jnp.minimum(rank, rank.T)  # (L, L), symmetric
+        partner = jnp.argmin(rank, axis=1)
+        has = jnp.min(rank, axis=1) < big
+        # accept mutual-first-choice pairs (i < partner[i])
+        ids = jnp.arange(L)
+        accept = has & (partner[partner] == ids) & (ids < partner)
+        j = partner
+        new_lines = jnp.concatenate([mstart[ids, j], mend[ids, j]], axis=-1)
+        lines = jnp.where(accept[:, None], new_lines, lines)
+        # deactivate the absorbed partner (duplicate-index-safe via max)
+        absorbed = jnp.zeros(L, bool).at[jnp.where(accept, j, ids)].max(accept)
+        mask = mask & ~absorbed
+        return lines, mask, jnp.any(accept), it + 1
+
+    def cond(state):
+        _, _, merged_any, it = state
+        return jnp.logical_and(merged_any, it < max_iters)
 
     # initial flag must be True; deriving it from `mask` keeps its sharding
     # type ("varying manual axes") consistent under shard_map
