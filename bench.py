@@ -145,16 +145,18 @@ def main():
         cube = Cuboid.from_minimal(
             jnp.asarray([0.5, 2.0, 0.3, 0, 0, 0.7, 0.4, 0.3, 0.3], dtype)
         )
-        graph = CameraObjectGraph.empty(F, dtype)._replace(
+        meas = cube.transform_to(Tcw.inverse())
+        meas = jax.tree.map(lambda x: x[:, None], meas)
+        graph = CameraObjectGraph.empty(F, 1, dtype)._replace(
             cam_Tcw=SE3.exp(tang + 0.01),
-            cube=cube,
+            cube=jax.tree.map(lambda x: x[None], cube),
             frame_mask=jnp.ones(F, bool),
-            cube_valid=jnp.asarray(True),
+            cube_valid=jnp.ones(1, bool),
             odom=odom,
             odom_mask=jnp.arange(F) > 0,
-            cube_meas=cube.transform_to(Tcw.inverse()),
-            cube_meas_weight=jnp.full((F,), 1.8, dtype),
-            cube_meas_mask=jnp.ones(F, bool),
+            cube_meas=meas,
+            cube_meas_weight=jnp.full((F, 1), 1.8, dtype),
+            cube_meas_mask=jnp.ones((F, 1), bool),
         )
 
         def make_ba_loop(n):

@@ -50,7 +50,7 @@ def _local_residual_vector(
     cam, cube = _apply_increments(graph_rep, dx, fix_first)
     odom_res, cube_res = graph_residuals(graph_rep, cam, cube)
     odom_res = jnp.where(owned[:, None], odom_res, 0.0)
-    cube_res = jnp.where(owned[:, None], cube_res, 0.0)
+    cube_res = jnp.where(owned[:, None, None], cube_res, 0.0)
     return jnp.concatenate([odom_res.reshape(-1), cube_res.reshape(-1)])
 
 
@@ -71,7 +71,7 @@ def make_sharded_optimize(
     def linearize(graph: CameraObjectGraph):
         def block(graph_rep):
             F = graph_rep.capacity
-            n = F * 6 + 9
+            n = F * 6 + graph_rep.n_objects * 9
             dtype = graph_rep.cam_Tcw.trans.dtype
             zero = jnp.zeros((n,), dtype)
             r = _local_residual_vector(graph_rep, zero, fix_first, axis)
@@ -94,7 +94,7 @@ def make_sharded_optimize(
     @jax.jit
     def optimize(graph: CameraObjectGraph) -> BAResult:
         F = graph.capacity
-        n = F * 6 + 9
+        n = F * 6 + graph.n_objects * 9
         dtype = graph.cam_Tcw.trans.dtype
 
         def chi2_of(g):

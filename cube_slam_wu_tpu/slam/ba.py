@@ -41,21 +41,22 @@ class BAResult(NamedTuple):
 
 
 def _apply_increments(graph: CameraObjectGraph, dx: jnp.ndarray, fix_first: bool):
-    """Map a stacked tangent increment onto (poses, cube).
+    """Map a stacked tangent increment onto (poses, cubes).
 
-    Layout: dx = [cam increments (F, 6) | cube increment (9,)].
+    Layout: dx = [cam increments (F, 6) | cube increments (O, 9)].
     Camera: left-multiplicative (VertexSE3Expmap::oplusImpl), cuboid:
     right-multiplicative + additive scale (VertexCuboid::oplusImpl).
     """
     F = graph.capacity
+    O = graph.n_objects
     d_cam = dx[: F * 6].reshape(F, 6)
-    d_cube = dx[F * 6 :]
+    d_cube = dx[F * 6 :].reshape(O, 9)
     gate = graph.frame_mask.astype(dx.dtype)
     if fix_first:
         gate = gate * (jnp.arange(F) != 0)
     d_cam = d_cam * gate[:, None]
     cam_new = SE3.exp(d_cam).compose(graph.cam_Tcw)
-    cube_gate = jnp.asarray(graph.cube_valid, dx.dtype)
+    cube_gate = graph.cube_valid.astype(dx.dtype)[:, None]
     cube_new = graph.cube.exp_update(d_cube * cube_gate)
     return cam_new, cube_new
 
@@ -76,7 +77,7 @@ def optimize(
     main_obj.cpp:802-803) and return updated estimates."""
     F = graph.capacity
     dtype = graph.cam_Tcw.trans.dtype
-    n = F * 6 + 9
+    n = F * 6 + graph.n_objects * 9
 
     def chi2_of(g: CameraObjectGraph):
         zero = jnp.zeros((n,), dtype)

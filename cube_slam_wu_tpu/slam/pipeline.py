@@ -59,11 +59,12 @@ def build_offline_frames(data: OfflineData, dtype=jnp.float64) -> tracker.FrameI
         quality[i] = (1.0 - row[8] + 0.5) / 2.0
         has[i] = True
 
-    meas = Cuboid.from_minimal(jnp.asarray(meas9, dtype))
+    # single-landmark dataset -> object axis O = 1
+    meas = Cuboid.from_minimal(jnp.asarray(meas9[:, None, :], dtype))
     return tracker.FrameInput(
         meas=meas,
-        quality=jnp.asarray(quality, dtype),
-        has_meas=jnp.asarray(has),
+        quality=jnp.asarray(quality[:, None], dtype),
+        has_meas=jnp.asarray(has[:, None]),
         active=jnp.ones((n,), bool),
     )
 
@@ -155,16 +156,16 @@ def run_online_slam(
         has[i] = True
 
     frames = tracker.FrameInput(
-        meas=Cuboid.from_minimal(jnp.asarray(meas9, dtype)),
-        quality=jnp.asarray(quality, dtype),
-        has_meas=jnp.asarray(has),
+        meas=Cuboid.from_minimal(jnp.asarray(meas9[:, None, :], dtype)),
+        quality=jnp.asarray(quality[:, None], dtype),
+        has_meas=jnp.asarray(has[:, None]),
         active=jnp.ones((n,), bool),
     )
     graph, chi2s = tracker.run_incremental(
         first_Twc, frames, iterations=iterations, soft_gate_alpha=soft_gate_alpha
     )
     traj = np.asarray(graph.cam_Twc().to_xyzq())
-    cube = np.asarray(graph.cube.to_minimal())
+    cube = np.asarray(graph.cube.to_minimal())[0]
     return SlamOutput(
         traj_Twc_xyzq=traj,
         cube_minimal=cube,
@@ -189,7 +190,7 @@ def run_offline_slam(base_folder, iterations: int = 5, dtype=jnp.float64) -> Sla
     first_Twc = SE3.from_xyzq(jnp.asarray(data.truth_poses[0, 1:8], dtype))
     graph, chi2s = tracker.run_incremental(first_Twc, frames, iterations=iterations)
     traj = np.asarray(graph.cam_Twc().to_xyzq())
-    cube = np.asarray(graph.cube.to_minimal())
+    cube = np.asarray(graph.cube.to_minimal())[0]
     return SlamOutput(
         traj_Twc_xyzq=traj,
         cube_minimal=cube,

@@ -98,7 +98,7 @@ def optimize(
     F = graph.capacity
     P = pts.points.shape[0]
     dtype = graph.cam_Tcw.trans.dtype
-    n_c = F * 6 + 9  # camera + cuboid block size
+    n_c = F * 6 + graph.n_objects * 9  # camera + cuboid block size
     eye9 = jnp.eye(3, dtype=dtype)
 
     zeros6 = jnp.zeros((6,), dtype)

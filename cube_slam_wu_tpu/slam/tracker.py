@@ -7,6 +7,10 @@ graph (constant-velocity pose initialisation, measurement insertion) and
 re-optimises the full graph with 5 LM iterations — the same O(N)-per-frame
 re-optimisation schedule as the reference, but compiled once and executed
 entirely on device.
+
+Objects are a batch axis: each frame carries up to O cuboid measurements
+(with masks); an object's vertex is initialised from its first observation
+(the reference's frame-0 special case generalised, main_obj.cpp:741-750).
 """
 
 from __future__ import annotations
@@ -23,12 +27,12 @@ from cube_slam_wu_tpu.slam.graph import CameraObjectGraph
 
 
 class FrameInput(NamedTuple):
-    """Per-frame measurement inputs (leading axis = frame)."""
+    """Per-frame measurement inputs (leading axis = frame, then object)."""
 
-    meas: Cuboid  # camera-frame cuboid measurement
-    quality: jnp.ndarray  # () in [0.5, 1]; weight = 2*quality
-    has_meas: jnp.ndarray  # () bool
-    active: jnp.ndarray  # () bool: frame exists (for padded batches)
+    meas: Cuboid  # (N, O) camera-frame cuboid measurements
+    quality: jnp.ndarray  # (N, O) in [0.5, 1]; weight = 2*quality
+    has_meas: jnp.ndarray  # (N, O) bool
+    active: jnp.ndarray  # (N,) bool: frame exists (for padded batches)
 
 
 def _set_se3(batch: SE3, i, value: SE3) -> SE3:
@@ -45,7 +49,7 @@ def make_incremental_step(
     soft_gate_alpha: float | None = None,
     soft_gate_power: float = 1.0,
 ):
-    """Build the scan body: (graph, (index, FrameInput, first_pose)) -> graph.
+    """Build the scan body: (graph, (index, FrameInput slice, first_pose)) -> graph.
 
     `first_pose` is the fixed frame-0 camera-to-world pose (the reference
     uses the first ground-truth pose, main_obj.cpp:526).
@@ -56,12 +60,13 @@ def make_incremental_step(
     estimate (at the constant-velocity predicted pose) is computed;
     `gate_threshold` drops edges whose innovation norm exceeds it, and
     `soft_gate_alpha` scales the measurement quality by
-    1/(1 + alpha*innovation).  This is what keeps the online pipeline at
-    trajectory parity despite noisier single-frame detections."""
+    1/(1 + alpha*innovation^power).  This is what keeps the online pipeline
+    at trajectory parity despite noisier single-frame detections."""
 
     def step(carry, inp):
         graph: CameraObjectGraph = carry
         i, frame, first_Twc = inp
+        O = graph.n_objects
 
         # -- constant-velocity pose initialisation (main_obj.cpp:548-565) ----
         prev = graph.cam_Tcw[jnp.maximum(i - 1, 0)]
@@ -78,9 +83,16 @@ def make_incremental_step(
             lambda a, b: jnp.where(i == 0, a, b), first_Tcw, curr_Tcw_pred
         )
 
-        # -- innovation gating against the current cuboid estimate -----------
-        pred_global = frame.meas.transform_from(curr_Tcw.inverse())
-        innovation = jnp.linalg.norm(graph.cube.min_log_error(pred_global))
+        # -- innovation gating against the current cuboid estimates ----------
+        curr_Twc = curr_Tcw.inverse()
+        Twc_b = SE3(
+            jnp.broadcast_to(curr_Twc.quat, (O, 4)),
+            jnp.broadcast_to(curr_Twc.trans, (O, 3)),
+        )
+        pred_global = frame.meas.transform_from(Twc_b)  # (O,)
+        innovation = jnp.linalg.norm(
+            graph.cube.min_log_error(pred_global), axis=-1
+        )  # (O,)
         can_gate = graph.cube_valid & (i > 0)
         quality = frame.quality
         has_meas = frame.has_meas
@@ -106,12 +118,17 @@ def make_incremental_step(
             cube_meas_mask=graph.cube_meas_mask.at[i].set(frame.active & has_meas),
         )
 
-        # -- cuboid vertex initialisation at frame 0 (main_obj.cpp:741-750) --
-        init_cube = frame.meas.transform_from(curr_Tcw.inverse())
-        set_cube = (i == 0) & frame.active
+        # -- cuboid vertex initialisation on first observation ---------------
+        # (generalises the reference's frame-0 init, main_obj.cpp:741-750)
+        init_cube = frame.meas.transform_from(Twc_b)  # (O,)
+        set_cube = (~g.cube_valid) & frame.active & frame.has_meas
         g = g._replace(
             cube=jax.tree.map(
-                lambda a, b: jnp.where(set_cube, a, b), init_cube, g.cube
+                lambda a, b: jnp.where(
+                    set_cube.reshape((O,) + (1,) * (a.ndim - 1)), a, b
+                ),
+                init_cube,
+                g.cube,
             ),
             cube_valid=g.cube_valid | set_cube,
         )
@@ -137,12 +154,11 @@ def run_incremental(
 ):
     """Run incremental SLAM over all frames; returns (graph, chi2_history).
 
-    frames fields have leading axis N (padded allowed via `active=False`).
-    """
-    n = frames.quality.shape[0]
+    frames fields have leading axes (N, O) (padded allowed via `active`)."""
+    n, n_obj = frames.quality.shape
     capacity = capacity or n
     dtype = frames.meas.scale.dtype
-    graph = CameraObjectGraph.empty(capacity, dtype)
+    graph = CameraObjectGraph.empty(capacity, n_obj, dtype)
     step = make_incremental_step(
         iterations, gate_threshold, soft_gate_alpha, soft_gate_power
     )

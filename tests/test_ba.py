@@ -28,7 +28,7 @@ def _make_synthetic(F=8, n_active=6, noise=0.05, seed=0):
         jnp.asarray([0.5, 2.0, 0.3, 0.0, 0.0, 0.7, 0.4, 0.3, 0.3])
     )
 
-    graph = CameraObjectGraph.empty(F)
+    graph = CameraObjectGraph.empty(F, n_objects=1)
     # odometry measurements: exact relative transforms
     odom = []
     for i in range(F):
@@ -38,8 +38,9 @@ def _make_synthetic(F=8, n_active=6, noise=0.05, seed=0):
             odom.append(true_Tcw[i].compose(true_Tcw[i - 1].inverse()))
     odom = jax.tree.map(lambda *xs: jnp.stack(xs), *odom)
 
-    # cuboid measurements in each camera frame (exact)
+    # cuboid measurements in each camera frame (exact), object axis O = 1
     meas = cube_true.transform_to(true_Twc)
+    meas = jax.tree.map(lambda x: x[:, None], meas)
 
     active = jnp.arange(F) < n_active
     # initial estimates: truth perturbed (frame 0 exact = fixed)
@@ -47,17 +48,18 @@ def _make_synthetic(F=8, n_active=6, noise=0.05, seed=0):
     pert[0] = 0
     init_Tcw = SE3.exp(jnp.asarray(pert)).compose(true_Tcw)
     cube_init = cube_true.exp_update(jnp.asarray(rng.normal(size=9) * noise))
+    cube_init = jax.tree.map(lambda x: x[None], cube_init)
 
     graph = graph._replace(
         cam_Tcw=init_Tcw,
         cube=cube_init,
         frame_mask=active,
-        cube_valid=jnp.asarray(True),
+        cube_valid=jnp.ones(1, bool),
         odom=odom,
         odom_mask=active & (jnp.arange(F) > 0),
         cube_meas=meas,
-        cube_meas_weight=jnp.ones(F) * 1.8,
-        cube_meas_mask=active,
+        cube_meas_weight=jnp.ones((F, 1)) * 1.8,
+        cube_meas_mask=active[:, None],
     )
     return graph, true_Tcw, cube_true
 

@@ -1,0 +1,134 @@
+"""Multi-object graph tests: O > 1 cuboid landmarks in one compiled program."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cube_slam_wu_tpu.core.cuboid import Cuboid
+from cube_slam_wu_tpu.core.se3 import SE3
+from cube_slam_wu_tpu.slam import ba, tracker
+from cube_slam_wu_tpu.slam.graph import CameraObjectGraph
+
+
+def _multi_synthetic(F=8, O=3, noise=0.05, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0, 1, F)
+    true_Twc = SE3.exp(
+        jnp.asarray(
+            np.stack([0.1 * t, 0.05 * t, 0.2 * t, 1.0 * t, 0.2 * t, 0.1 * t], axis=1)
+        )
+    )
+    true_Tcw = true_Twc.inverse()
+    cubes9 = np.stack(
+        [
+            [0.5 + o, 2.0, 0.3, 0, 0, 0.3 * o, 0.4, 0.3, 0.3]
+            for o in range(O)
+        ]
+    )
+    cubes_true = Cuboid.from_minimal(jnp.asarray(cubes9))
+
+    odom = [SE3.identity()] + [
+        true_Tcw[i].compose(true_Tcw[i - 1].inverse()) for i in range(1, F)
+    ]
+    odom = jax.tree.map(lambda *xs: jnp.stack(xs), *odom)
+
+    Twc_b = SE3(
+        jnp.broadcast_to(true_Twc.quat[:, None, :], (F, O, 4)),
+        jnp.broadcast_to(true_Twc.trans[:, None, :], (F, O, 3)),
+    )
+    cubes_b = Cuboid(
+        SE3(
+            jnp.broadcast_to(cubes_true.pose.quat[None], (F, O, 4)),
+            jnp.broadcast_to(cubes_true.pose.trans[None], (F, O, 3)),
+        ),
+        jnp.broadcast_to(cubes_true.scale[None], (F, O, 3)),
+    )
+    meas = cubes_b.transform_to(Twc_b)
+
+    pert = rng.normal(size=(F, 6)) * noise
+    pert[0] = 0
+    init_Tcw = SE3.exp(jnp.asarray(pert)).compose(true_Tcw)
+    cube_init = cubes_true.exp_update(jnp.asarray(rng.normal(size=(O, 9)) * noise))
+
+    graph = CameraObjectGraph.empty(F, O)._replace(
+        cam_Tcw=init_Tcw,
+        cube=cube_init,
+        frame_mask=jnp.ones(F, bool),
+        cube_valid=jnp.ones(O, bool),
+        odom=odom,
+        odom_mask=jnp.arange(F) > 0,
+        cube_meas=meas,
+        cube_meas_weight=jnp.full((F, O), 1.8),
+        cube_meas_mask=jnp.ones((F, O), bool),
+    )
+    return graph, true_Tcw, cubes_true, meas
+
+
+def test_multi_object_ba_converges():
+    graph, true_Tcw, cubes_true, _ = _multi_synthetic()
+    res = ba.optimize(graph, iterations=10)
+    assert float(res.chi2) < 1e-10
+    pose_err = np.abs(np.asarray(res.cam_Tcw.compose(true_Tcw.inverse()).log())).max()
+    assert pose_err < 1e-5
+    cube_err = np.abs(np.asarray(res.cube.log_error(cubes_true))).max()
+    assert cube_err < 1e-5
+
+
+def test_partial_object_observations():
+    """Objects observed in disjoint frame subsets still converge."""
+    graph, true_Tcw, cubes_true, _ = _multi_synthetic(F=8, O=2, seed=3)
+    mask = np.ones((8, 2), bool)
+    mask[:4, 1] = False  # object 1 only in later frames
+    mask[4:, 0] = False  # object 0 only in early frames
+    graph = graph._replace(cube_meas_mask=jnp.asarray(mask))
+    res = ba.optimize(graph, iterations=10)
+    cube_err = np.abs(np.asarray(res.cube.log_error(cubes_true))).max()
+    assert cube_err < 1e-4, cube_err
+
+
+def test_incremental_multi_object_init():
+    """The tracker initialises each object's vertex at its FIRST observation
+    (generalised main_obj.cpp:741-750).
+
+    Uses an exactly constant-velocity trajectory so the tracker's
+    constant-velocity odometry agrees with the exact cuboid measurements."""
+    F, O = 8, 2
+    delta = SE3.exp(jnp.asarray([0.01, 0.02, -0.01, 0.15, 0.03, 0.01]))
+    poses = [SE3.identity((), jnp.float64)]
+    for _ in range(F - 1):
+        poses.append(delta.compose(poses[-1]))
+    true_Tcw = jax.tree.map(lambda *xs: jnp.stack(xs), *poses)
+    true_Twc = true_Tcw.inverse()
+    cubes_true = Cuboid.from_minimal(
+        jnp.asarray([[0.5, 2.0, 0.3, 0, 0, 0.0, 0.4, 0.3, 0.3],
+                     [1.5, 2.0, 0.3, 0, 0, 0.3, 0.4, 0.3, 0.3]])
+    )
+    Twc_b = SE3(
+        jnp.broadcast_to(true_Twc.quat[:, None, :], (F, O, 4)),
+        jnp.broadcast_to(true_Twc.trans[:, None, :], (F, O, 3)),
+    )
+    cubes_b = Cuboid(
+        SE3(
+            jnp.broadcast_to(cubes_true.pose.quat[None], (F, O, 4)),
+            jnp.broadcast_to(cubes_true.pose.trans[None], (F, O, 3)),
+        ),
+        jnp.broadcast_to(cubes_true.scale[None], (F, O, 3)),
+    )
+    meas = cubes_b.transform_to(Twc_b)
+    has = np.ones((F, O), bool)
+    has[:3, 1] = False  # object 1 first seen at frame 3
+    frames = tracker.FrameInput(
+        meas=meas,
+        quality=jnp.full((F, O), 0.7),
+        has_meas=jnp.asarray(has),
+        active=jnp.ones(F, bool),
+    )
+    graph, chi2 = tracker.run_incremental(true_Twc[0], frames, iterations=3)
+    assert np.asarray(graph.cube_valid).all()
+    # exactness is unreachable: frame 1's odometry measurement is identity by
+    # reference semantics (no velocity estimate yet, main_obj.cpp:556-562),
+    # which conflicts with the true motion; the residual equilibrium leaves a
+    # small bounded error
+    err = np.abs(np.asarray(graph.cube.log_error(cubes_true))).max()
+    assert err < 0.1, err
+    assert np.all(np.isfinite(np.asarray(chi2)))
