@@ -92,22 +92,25 @@ def test_engine_matches_oracle_on_demo(demo_inputs):
         intern["dist_map"], mlines, K, T_wc, bbox, intern["yaws"]
     )
 
-    # identical valid hypothesis sets
+    # flat layout: config blocks outermost, then (rp=1, yaw, top) row-major
     Y = len(intern["yaws"])
     T = len(intern["top_xs"])
-    engine_valid = set(np.nonzero(intern["valid"])[0].tolist())
-    oracle_valid = set()
-    for r in records:
+    block = Y * T
+
+    def flat_idx(r):
         yi = int(np.argmin(np.abs(intern["yaws"] - r["yaw"])))
-        oracle_valid.add((yi * T + r["top_id"]) * 2 + (r["config"] - 1))
+        return (r["config"] - 1) * block + yi * T + r["top_id"]
+
+    # identical valid hypothesis sets
+    engine_valid = set(np.nonzero(intern["valid"])[0].tolist())
+    oracle_valid = {flat_idx(r) for r in records}
     assert engine_valid == oracle_valid
     assert len(records) > 50  # the fixture produces a healthy grid
 
     # identical per-hypothesis scores (distance lookups may differ by one
     # pixel at floor boundaries -> small tolerance)
     for r in records:
-        yi = int(np.argmin(np.abs(intern["yaws"] - r["yaw"])))
-        fi = (yi * T + r["top_id"]) * 2 + (r["config"] - 1)
+        fi = flat_idx(r)
         assert abs(intern["dist"][fi] - r["dist"]) < 0.05
         assert abs(intern["angle"][fi] - r["angle"]) < 1e-3
 
