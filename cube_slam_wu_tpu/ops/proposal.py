@@ -799,3 +799,30 @@ def detect_cuboid_single(
         best=best,
     )
     return result, internals
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def detect_cuboids(
+    gray: jnp.ndarray,
+    K: jnp.ndarray,
+    T_wc: jnp.ndarray,
+    bboxes: jnp.ndarray,
+    bbox_mask: jnp.ndarray,
+    lines: jnp.ndarray,
+    line_mask: jnp.ndarray,
+    cfg: ProposalConfig = ProposalConfig(),
+):
+    """Detect cuboids for a padded batch of 2D boxes on one image.
+
+    The reference loops over detections (box_proposal_detail.cpp:135); here
+    the batch vmaps the whole per-box program (each box gets its own ROI
+    distance map and hypothesis grid).  bboxes: (B, 4) [x y w h];
+    bbox_mask: (B,).  Returns a ProposalResult with leading axis B whose
+    `valid` is ANDed with bbox_mask.
+    """
+
+    def one(box):
+        return detect_cuboid_single(gray, K, T_wc, box, lines, line_mask, cfg)
+
+    res = jax.vmap(one)(bboxes)
+    return res._replace(valid=res.valid & bbox_mask)

@@ -48,10 +48,13 @@ def _local_residual_vector(
     owned = owned | ((jnp.arange(F) >= n_dev * block) & (dev == n_dev - 1))
 
     cam, cube = _apply_increments(graph_rep, dx, fix_first)
-    odom_res, cube_res = graph_residuals(graph_rep, cam, cube)
+    odom_res, cube_res, bbox_res = graph_residuals(graph_rep, cam, cube)
     odom_res = jnp.where(owned[:, None], odom_res, 0.0)
     cube_res = jnp.where(owned[:, None, None], cube_res, 0.0)
-    return jnp.concatenate([odom_res.reshape(-1), cube_res.reshape(-1)])
+    bbox_res = jnp.where(owned[:, None, None], bbox_res, 0.0)
+    return jnp.concatenate(
+        [odom_res.reshape(-1), cube_res.reshape(-1), bbox_res.reshape(-1)]
+    )
 
 
 def make_sharded_optimize(

@@ -63,8 +63,10 @@ def _apply_increments(graph: CameraObjectGraph, dx: jnp.ndarray, fix_first: bool
 
 def _residual_vector(graph: CameraObjectGraph, dx: jnp.ndarray, fix_first: bool):
     cam, cube = _apply_increments(graph, dx, fix_first)
-    odom_res, cube_res = graph_residuals(graph, cam, cube)
-    return jnp.concatenate([odom_res.reshape(-1), cube_res.reshape(-1)])
+    odom_res, cube_res, bbox_res = graph_residuals(graph, cam, cube)
+    return jnp.concatenate(
+        [odom_res.reshape(-1), cube_res.reshape(-1), bbox_res.reshape(-1)]
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("iterations", "fix_first"))

@@ -46,6 +46,12 @@ class CameraObjectGraph(NamedTuple):
     cube_meas: Cuboid  # (F, O) camera-frame cuboid measurements
     cube_meas_weight: jnp.ndarray  # (F, O) scalar sqrt-information (2*quality)
     cube_meas_mask: jnp.ndarray  # (F, O) bool
+    # 2D projection edges (EdgeSE3CuboidProj, g2o_Object.h:264-292):
+    # measured 2D bbox [cx, cy, w, h] per (frame, object), with intrinsics
+    bbox_meas: jnp.ndarray  # (F, O, 4)
+    bbox_weight: jnp.ndarray  # (F, O)
+    bbox_mask: jnp.ndarray  # (F, O) bool
+    K: jnp.ndarray  # (3, 3) intrinsics for the projection edges
 
     @staticmethod
     def empty(capacity: int, n_objects: int = 1, dtype=jnp.float64) -> "CameraObjectGraph":
@@ -60,6 +66,10 @@ class CameraObjectGraph(NamedTuple):
             cube_meas=Cuboid.identity((F, O), dtype),
             cube_meas_weight=jnp.zeros((F, O), dtype),
             cube_meas_mask=jnp.zeros((F, O), bool),
+            bbox_meas=jnp.zeros((F, O, 4), dtype),
+            bbox_weight=jnp.zeros((F, O), dtype),
+            bbox_mask=jnp.zeros((F, O), bool),
+            K=jnp.eye(3, dtype=dtype),
         )
 
     @property
@@ -108,9 +118,27 @@ def graph_residuals(graph: CameraObjectGraph, cam_Tcw: SE3, cube: Cuboid):
         & graph.cube_valid[None, :, None]
     )
     cube_res = jnp.where(active, w * cube_res, 0.0)
-    return odom_res, cube_res
+
+    # 2D projection edges: projected bbox [cx, cy, w, h] - measured
+    # (EdgeSE3CuboidProj::computeError, g2o_Object.h:279-291)
+    Tcw_b = SE3(
+        jnp.broadcast_to(cam_Tcw.quat[:, None, :], (F, O, 4)),
+        jnp.broadcast_to(cam_Tcw.trans[:, None, :], (F, O, 3)),
+    )
+    proj = cube_b.project_bbox(Tcw_b, graph.K)  # (F, O, 4)
+    bbox_res = proj - graph.bbox_meas
+    bactive = (
+        (graph.bbox_mask & graph.frame_mask[:, None])[..., None]
+        & graph.cube_valid[None, :, None]
+    )
+    bbox_res = jnp.where(
+        bactive & jnp.isfinite(bbox_res),
+        graph.bbox_weight[..., None] * bbox_res,
+        0.0,
+    )
+    return odom_res, cube_res, bbox_res
 
 
 def graph_chi2(graph: CameraObjectGraph, cam_Tcw: SE3, cube: Cuboid) -> jnp.ndarray:
-    odom_res, cube_res = graph_residuals(graph, cam_Tcw, cube)
-    return jnp.sum(odom_res**2) + jnp.sum(cube_res**2)
+    odom_res, cube_res, bbox_res = graph_residuals(graph, cam_Tcw, cube)
+    return jnp.sum(odom_res**2) + jnp.sum(cube_res**2) + jnp.sum(bbox_res**2)

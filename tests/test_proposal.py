@@ -162,3 +162,36 @@ def test_engine_f32_same_winner(demo_inputs):
     assert res.valid
     np.testing.assert_allclose(res.pos, [-0.2558, 1.7545, 0.4630], atol=2e-2)
     np.testing.assert_allclose(res.rotY, -2.2515, atol=1e-2)
+
+
+def test_multi_box_batch(demo_inputs):
+    """detect_cuboids vmaps the per-box program; element 0 must equal the
+    single-box result and masked boxes must come back invalid."""
+    from cube_slam_wu_tpu.ops.proposal import detect_cuboids
+
+    gray, K, T_wc, bbox, lines, mask = demo_inputs
+    cfg = ProposalConfig(max_lines=lines.shape[0])
+    bboxes = np.stack([bbox, [80.0, 120.0, 150.0, 200.0]])
+    bmask = np.array([True, False])
+    res = detect_cuboids(
+        gray,
+        jnp.asarray(K),
+        jnp.asarray(T_wc),
+        jnp.asarray(bboxes),
+        jnp.asarray(bmask),
+        jnp.asarray(lines),
+        jnp.asarray(mask),
+        cfg,
+    )
+    res = jax.tree.map(np.asarray, res)
+    assert res.pos.shape == (2, 3)
+    assert bool(res.valid[0]) and not bool(res.valid[1])
+    single = jax.tree.map(
+        np.asarray,
+        detect_cuboid_single(
+            gray, jnp.asarray(K), jnp.asarray(T_wc), jnp.asarray(bbox),
+            jnp.asarray(lines), jnp.asarray(mask), cfg,
+        ),
+    )
+    np.testing.assert_allclose(res.pos[0], single.pos, atol=1e-9)
+    np.testing.assert_allclose(res.rotY[0], single.rotY, atol=1e-12)
