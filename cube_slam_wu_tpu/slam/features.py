@@ -1,0 +1,152 @@
+"""Point-feature front-end: Harris corners + ZNCC patch tracking.
+
+The reference's point landmarks come from its ORB-SLAM2 integration (not
+present in the repo — README.md:8 — but its g2o ships the mono point
+projection edges we cover in slam/point_ba).  This module provides the
+TPU-native feature front-end that feeds those edges: batched Harris corner
+detection and zero-mean NCC patch tracking over a search window, both
+fixed-shape (padded corner sets + masks) and jit-compiled.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from cube_slam_wu_tpu.ops import image as image_ops
+from cube_slam_wu_tpu.ops.detect import gaussian_blur5
+
+
+def _box_blur(a: jnp.ndarray, r: int) -> jnp.ndarray:
+    """(2r+1)^2 box filter via separable cumsum differences."""
+    for axis in (-2, -1):
+        n = a.shape[axis]
+        idx = jnp.arange(n)
+        lo = jnp.clip(idx - r, 0, n - 1)
+        hi = jnp.clip(idx + r, 0, n - 1)
+        c = jnp.cumsum(a, axis=axis)
+        c = jnp.concatenate(
+            [jnp.zeros_like(jax.lax.slice_in_dim(c, 0, 1, axis=axis)), c], axis=axis
+        )
+        a = jnp.take(c, hi + 1, axis=axis) - jnp.take(c, lo, axis=axis)
+    return a
+
+
+@functools.partial(jax.jit, static_argnames=("max_corners", "border"))
+def harris_corners(
+    gray: jnp.ndarray,
+    max_corners: int = 256,
+    k: float = 0.04,
+    rel_threshold: float = 1e-5,
+    border: int = 12,
+):
+    """Harris corner detection; returns (pts (K, 2) [x, y] float, mask (K,)).
+
+    Standard pipeline: blurred Sobel products -> windowed structure tensor ->
+    R = det - k*tr^2 -> 3x3 NMS -> top-K above rel_threshold * max(R)."""
+    g = gaussian_blur5(gray)
+    gx, gy = image_ops.sobel3(g)
+    Ixx = _box_blur(gx * gx, 2)
+    Iyy = _box_blur(gy * gy, 2)
+    Ixy = _box_blur(gx * gy, 2)
+    R = (Ixx * Iyy - Ixy * Ixy) - k * (Ixx + Iyy) ** 2
+
+    # 3x3 non-max suppression
+    m = R
+    for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0), (1, 1), (1, -1), (-1, 1), (-1, -1)):
+        m = jnp.maximum(m, jnp.roll(R, (dy, dx), axis=(-2, -1)))
+    is_peak = (R >= m) & (R > rel_threshold * jnp.max(R))
+
+    h, w = gray.shape
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    inside = (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
+    score = jnp.where(is_peak & inside, R, -jnp.inf)
+    vals, idx = jax.lax.top_k(score.reshape(-1), max_corners)
+    py = (idx // w).astype(gray.dtype)
+    px = (idx % w).astype(gray.dtype)
+    return jnp.stack([px, py], axis=-1), jnp.isfinite(vals) & (vals > 0)
+
+
+@functools.partial(jax.jit, static_argnames=("patch_radius", "search_radius"))
+def track_corners(
+    gray_prev: jnp.ndarray,
+    gray_next: jnp.ndarray,
+    pts: jnp.ndarray,
+    mask: jnp.ndarray,
+    patch_radius: int = 4,
+    search_radius: int = 24,
+    min_zncc: float = 0.7,
+):
+    """Track corners by exhaustive ZNCC over a search window.
+
+    Returns (new_pts (K, 2), tracked (K,), zncc (K,)).  Fully batched:
+    (K, displacements, patch) tensors, no data-dependent control flow."""
+    r, s = patch_radius, search_radius
+    H, W = gray_prev.shape
+    dy, dx = jnp.meshgrid(
+        jnp.arange(-r, r + 1), jnp.arange(-r, r + 1), indexing="ij"
+    )
+    dy = dy.reshape(-1)
+    dx = dx.reshape(-1)  # (P,)
+    sy, sx = jnp.meshgrid(
+        jnp.arange(-s, s + 1), jnp.arange(-s, s + 1), indexing="ij"
+    )
+    sy = sy.reshape(-1)
+    sx = sx.reshape(-1)  # (D,)
+
+    x0 = jnp.round(pts[:, 0]).astype(jnp.int32)
+    y0 = jnp.round(pts[:, 1]).astype(jnp.int32)
+
+    def patch_at(img, cy, cx):  # (K,) centres -> (K, P) patches
+        yy = jnp.clip(cy[:, None] + dy[None, :], 0, H - 1)
+        xx = jnp.clip(cx[:, None] + dx[None, :], 0, W - 1)
+        return img[yy, xx]
+
+    ref = patch_at(gray_prev, y0, x0)  # (K, P)
+    ref = ref - jnp.mean(ref, axis=-1, keepdims=True)
+    ref_n = jnp.sqrt(jnp.sum(ref * ref, axis=-1) + 1e-9)
+
+    # candidate patches: (K, D, P)
+    cy = y0[:, None] + sy[None, :]
+    cx = x0[:, None] + sx[None, :]
+    yy = jnp.clip(cy[:, :, None] + dy[None, None, :], 0, H - 1)
+    xx = jnp.clip(cx[:, :, None] + dx[None, None, :], 0, W - 1)
+    cand = gray_next[yy, xx]
+    cand = cand - jnp.mean(cand, axis=-1, keepdims=True)
+    cand_n = jnp.sqrt(jnp.sum(cand * cand, axis=-1) + 1e-9)
+    zncc = jnp.einsum("kp,kdp->kd", ref, cand) / (ref_n[:, None] * cand_n)
+
+    best = jnp.argmax(zncc, axis=-1)
+    best_zncc = jnp.take_along_axis(zncc, best[:, None], axis=-1)[:, 0]
+    new_x = (x0 + sx[best]).astype(pts.dtype)
+    new_y = (y0 + sy[best]).astype(pts.dtype)
+    inb = (new_x >= r) & (new_x < W - r) & (new_y >= r) & (new_y < H - r)
+    tracked = mask & (best_zncc > min_zncc) & inb
+    return jnp.stack([new_x, new_y], axis=-1), tracked, best_zncc
+
+
+def build_point_tracks(grays, max_corners: int = 192, **track_kwargs):
+    """Track Harris corners detected in frame 0 through a frame list.
+
+    grays: list/array of (H, W) images.  Returns (obs_uv (F, K, 2),
+    obs_mask (F, K)) — a track dies permanently when ZNCC tracking fails
+    (no re-detection; good enough for the short sequences we bundle)."""
+    import numpy as np
+
+    g0 = grays[0]
+    pts, mask = harris_corners(g0, max_corners=max_corners)
+    F = len(grays)
+    obs_uv = np.zeros((F, max_corners, 2))
+    obs_mask = np.zeros((F, max_corners), bool)
+    obs_uv[0] = np.asarray(pts)
+    obs_mask[0] = np.asarray(mask)
+    cur = pts
+    alive = mask
+    for f in range(1, F):
+        cur, alive, _ = track_corners(grays[f - 1], grays[f], cur, alive, **track_kwargs)
+        obs_uv[f] = np.asarray(cur)
+        obs_mask[f] = np.asarray(alive)
+    return obs_uv, obs_mask

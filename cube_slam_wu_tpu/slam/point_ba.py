@@ -78,6 +78,48 @@ def _obs_residual(d_pose, d_point, Tcw0: SE3, X0, uv, K):
     return uv - project_point(Tcw, X, K)
 
 
+@jax.jit
+def triangulate_points(
+    cam_Tcw: SE3, obs_uv: jnp.ndarray, obs_mask: jnp.ndarray, K: jnp.ndarray
+):
+    """Batched DLT triangulation.
+
+    cam_Tcw (F,), obs_uv (F, P, 2), obs_mask (F, P) -> (points (P, 3),
+    ok (P,)).  Classic homogeneous linear system u*(p3.X) - p1.X = 0 per
+    observation; smallest eigenvector of the masked normal matrix.  Validity:
+    >= 2 observations and positive depth in every observing frame."""
+    F = obs_uv.shape[0]
+    R = cam_Tcw.rotation_matrix()  # (F, 3, 3)
+    t = cam_Tcw.trans  # (F, 3)
+    P = K @ jnp.concatenate([R, t[..., None]], axis=-1)  # (F, 3, 4)
+
+    u = obs_uv[..., 0]
+    v = obs_uv[..., 1]
+    # rows: u * P3 - P1, v * P3 - P2  -> (F, P_pts, 2, 4)
+    rows = jnp.stack(
+        [
+            u[..., None] * P[:, None, 2, :] - P[:, None, 0, :],
+            v[..., None] * P[:, None, 2, :] - P[:, None, 1, :],
+        ],
+        axis=2,
+    )
+    rows = jnp.where(obs_mask[..., None, None], rows, 0.0)
+    A = rows.transpose(1, 0, 2, 3).reshape(-1, F * 2, 4)  # (P_pts, 2F, 4)
+    N = jnp.einsum("pij,pik->pjk", A, A)  # (P_pts, 4, 4)
+    _, vecs = jnp.linalg.eigh(N)
+    X_h = vecs[..., 0]  # smallest eigenvector
+    w = X_h[..., 3]
+    w_safe = jnp.where(jnp.abs(w) > 1e-12, w, 1e-12)
+    X = X_h[..., :3] / w_safe[..., None]
+
+    # positive depth in all observing frames
+    pc_z = jnp.einsum("fj,pj->fp", R[:, 2, :], X) + t[:, 2][:, None]
+    depth_ok = jnp.all(jnp.where(obs_mask, pc_z > 0.1, True), axis=0)
+    n_obs = jnp.sum(obs_mask, axis=0)
+    ok = (n_obs >= 2) & depth_ok & jnp.all(jnp.isfinite(X), axis=-1)
+    return X, ok
+
+
 class PointBAResult(NamedTuple):
     cam_Tcw: SE3
     cube: Cuboid

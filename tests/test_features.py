@@ -1,0 +1,65 @@
+"""Feature front-end tests: Harris corners + ZNCC tracking."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cube_slam_wu_tpu.slam import features
+from cube_slam_wu_tpu.utils import io as uio
+
+
+def _checker(shift=(0, 0), size=(120, 160), sq=16):
+    ys, xs = np.mgrid[0 : size[0], 0 : size[1]]
+    return (
+        (((ys + shift[0]) // sq + (xs + shift[1]) // sq) % 2) * 180.0 + 30.0
+    )
+
+
+def test_harris_finds_checker_corners():
+    img = jnp.asarray(_checker())
+    pts, mask = features.harris_corners(img, max_corners=64)
+    pts, mask = np.asarray(pts), np.asarray(mask)
+    assert mask.sum() >= 20
+    # corners lie near multiples of the square size
+    good = pts[mask]
+    residual = np.minimum(good % 16, 16 - (good % 16))
+    assert np.median(residual) <= 2.0
+
+
+def test_tracking_recovers_translation():
+    img1 = jnp.asarray(_checker())
+    img2 = jnp.asarray(_checker(shift=(3, 5)))  # content moves by (-3, -5)?
+    pts, mask = features.harris_corners(img1, max_corners=64)
+    new_pts, tracked, zncc = features.track_corners(img1, img2, pts, mask)
+    new_pts, tracked = np.asarray(new_pts), np.asarray(tracked)
+    assert tracked.sum() >= 15
+    d = new_pts[tracked] - np.asarray(pts)[tracked]
+    # checker shifted by (dy=3, dx=5) in index space means features move by
+    # (-5, -3) in (x, y)
+    np.testing.assert_allclose(np.median(d[:, 0]), -5, atol=1.0)
+    np.testing.assert_allclose(np.median(d[:, 1]), -3, atol=1.0)
+
+
+def test_tracking_rejects_mismatched_content():
+    img1 = jnp.asarray(_checker())
+    rng = np.random.default_rng(0)
+    img2 = jnp.asarray(rng.uniform(0, 255, img1.shape))
+    pts, mask = features.harris_corners(img1, max_corners=64)
+    _, tracked, _ = features.track_corners(img1, img2, pts, mask)
+    assert np.asarray(tracked).sum() <= 3
+
+
+def test_tracks_on_real_frames(reference_root):
+    base = reference_root / "object_slam/data/raw_imgs"
+    grays = [
+        jnp.asarray(uio.load_image_gray(base / f"{i:04d}_rgb_raw.jpg"))
+        for i in range(4)
+    ]
+    obs_uv, obs_mask = features.build_point_tracks(grays, max_corners=128)
+    assert obs_mask[0].sum() >= 60
+    # a healthy fraction of tracks survives 3 frames of real motion
+    assert obs_mask[3].sum() >= 25, obs_mask.sum(axis=1)
+    # survivors move smoothly (small per-frame displacement)
+    alive = obs_mask.all(axis=0)
+    disp = np.linalg.norm(obs_uv[3][alive] - obs_uv[0][alive], axis=1)
+    assert np.median(disp) < 60

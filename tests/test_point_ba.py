@@ -82,3 +82,31 @@ def test_point_ba_beats_pointless_ba():
     err_plain = np.abs(np.asarray(res_plain.cam_Tcw.compose(true_Tcw.inverse()).log())).max()
     err_pts = np.abs(np.asarray(res_pts.cam_Tcw.compose(true_Tcw.inverse()).log())).max()
     assert err_pts < err_plain, (err_pts, err_plain)
+
+
+def test_triangulation_exact_on_synthetic():
+    """Batched DLT recovers exact points from noiseless projections."""
+    rng = np.random.default_rng(0)
+    F, P = 6, 20
+    tang = np.zeros((F, 6))
+    tang[:, 3] = np.linspace(0, 1.0, F)  # x-translating camera
+    Tcw = SE3.exp(jnp.asarray(tang))
+    pts_true = jnp.asarray(
+        np.stack(
+            [rng.uniform(-2, 2, P), rng.uniform(-1.5, 1.5, P), rng.uniform(4, 9, P)], 1
+        )
+    )
+    uv = jax.vmap(
+        lambda T: jax.vmap(lambda X: point_ba.project_point(T, X, K))(pts_true)
+    )(Tcw)
+    X, ok = point_ba.triangulate_points(Tcw, uv, jnp.ones((F, P), bool), K)
+    assert np.asarray(ok).all()
+    np.testing.assert_allclose(np.asarray(X), np.asarray(pts_true), atol=1e-9)
+
+
+def test_triangulation_rejects_single_view():
+    Tcw = SE3.identity((3,), jnp.float64)
+    uv = jnp.full((3, 4, 2), 100.0)
+    mask = jnp.zeros((3, 4), bool).at[0, :].set(True)  # one observation each
+    _, ok = point_ba.triangulate_points(Tcw, uv, mask, K)
+    assert not np.asarray(ok).any()
