@@ -174,18 +174,29 @@ def _edt_1d_columns(edge: jnp.ndarray) -> jnp.ndarray:
     return jnp.minimum(fwd, bwd)
 
 
-def distance_transform(edge: jnp.ndarray, row_chunk: int = 32) -> jnp.ndarray:
+def distance_transform(
+    edge: jnp.ndarray, row_chunk: int = 32, use_pallas: bool | None = None
+) -> jnp.ndarray:
     """Exact Euclidean distance transform to the nearest True pixel.
 
     Two stages: per-column 1D distances g(x, y), then per-row exact
-    minimisation D(y, x) = min_x' sqrt((x - x')^2 + g(x', y)^2), evaluated as
-    a chunked dense reduction (VPU-friendly; O(W) per output pixel).
+    minimisation D(y, x) = min_x' sqrt((x - x')^2 + g(x', y)^2).  On TPU the
+    row stage runs as a VMEM-resident Pallas kernel
+    (ops.pallas_kernels.edt_row_min); elsewhere as a chunked dense reduction.
 
     Pixels in images with no edges at all get a large finite value.
     """
     h, w = edge.shape[-2:]
     g = _edt_1d_columns(edge)  # (h, w) distance along columns
     g2 = jnp.minimum(g, 1e6) ** 2  # (h, w)
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from cube_slam_wu_tpu.ops.pallas_kernels import edt_row_min
+
+        return edt_row_min(g2).astype(g2.dtype)
+
     xs = jnp.arange(w, dtype=g2.dtype)
     dx2 = (xs[:, None] - xs[None, :]) ** 2  # (w out, w src)
 

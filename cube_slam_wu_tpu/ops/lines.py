@@ -140,3 +140,35 @@ def merge_break_lines(
     if min_length > 0:
         mask = mask & (line_lengths(lines) > min_length)
     return lines, mask
+
+
+def bbox_overlap_ratio(rect1: jnp.ndarray, rect2: jnp.ndarray) -> jnp.ndarray:
+    """IoU of [x, y, w, h] rectangles (bboxOverlapratio,
+    object_3d_util.cpp:1014-1018).  Broadcasts over leading dims."""
+    ax1, ay1 = rect1[..., 0], rect1[..., 1]
+    ax2, ay2 = ax1 + rect1[..., 2], ay1 + rect1[..., 3]
+    bx1, by1 = rect2[..., 0], rect2[..., 1]
+    bx2, by2 = bx1 + rect2[..., 2], by1 + rect2[..., 3]
+    iw = jnp.maximum(jnp.minimum(ax2, bx2) - jnp.maximum(ax1, bx1), 0.0)
+    ih = jnp.maximum(jnp.minimum(ay2, by2) - jnp.maximum(ay1, by1), 0.0)
+    inter = iw * ih
+    union = rect1[..., 2] * rect1[..., 3] + rect2[..., 2] * rect2[..., 3] - inter
+    return inter / jnp.maximum(union, 1e-12)
+
+
+def point_boundary_dist(rect: jnp.ndarray, pt: jnp.ndarray) -> jnp.ndarray:
+    """min distance of a point to the nearer vertical/horizontal rect border
+    (pointBoundaryDist, object_3d_util.cpp:1021-1035)."""
+    mid_x = rect[..., 0] + rect[..., 2] / 2.0
+    mid_y = rect[..., 1] + rect[..., 3] / 2.0
+    dx = jnp.where(
+        pt[..., 0] < mid_x,
+        jnp.abs(pt[..., 0] - rect[..., 0]),
+        jnp.abs(pt[..., 0] - rect[..., 0] - rect[..., 2]),
+    )
+    dy = jnp.where(
+        pt[..., 1] < mid_y,
+        jnp.abs(pt[..., 1] - rect[..., 1]),
+        jnp.abs(pt[..., 1] - rect[..., 1] - rect[..., 3]),
+    )
+    return jnp.minimum(dx, dy)

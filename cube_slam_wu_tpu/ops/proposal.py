@@ -77,6 +77,7 @@ class ProposalConfig:
     pre_merge_dist_thre: float = 20.0
     pre_merge_angle_thre_deg: float = 5.0
     edge_length_threshold: float = 30.0
+    yaw_prior_weight: float = 1.0  # score penalty per rad of mod-90 yaw drift
 
     @property
     def rp_count(self) -> int:
@@ -518,6 +519,7 @@ def detect_cuboid_single(
     line_mask: jnp.ndarray,
     cfg: ProposalConfig = ProposalConfig(),
     return_internals: bool = False,
+    yaw_prior: jnp.ndarray | None = None,
 ):
     """Detect the best cuboid for one 2D bounding box.
 
@@ -740,6 +742,15 @@ def detect_cuboid_single(
     skew_err = cfg.weight_skew_error * jnp.maximum(skew - cfg.nominal_skew_ratio, 0.0)
     skew_err = jnp.where(skew > cfg.max_cut_skew, 100.0, skew_err)
     final = scores + cfg.weight_skew_error * skew_err
+    if yaw_prior is not None:
+        # temporal smoothness prior on the object yaw (the reference leaves
+        # this as a TODO, box_proposal_detail.cpp:178: "later if in video,
+        # could use previous object yaw ... reduce search range").  Distance
+        # is modulo 90deg (front-face ambiguity is handled downstream by
+        # min_log_error's 4-rotation disambiguation).
+        dy = jnp.abs(yaw_grid - yaw_prior)
+        dy = jnp.mod(dy + math.pi / 4, math.pi / 2) - math.pi / 4
+        final = final + cfg.yaw_prior_weight * jnp.abs(dy)
     final = jnp.where(kept & scale_ok & jnp.isfinite(scores), final, jnp.inf)
 
     best = jnp.argmin(final)

@@ -78,6 +78,7 @@ def run_online_slam(
     proposal_overrides: dict | None = None,
     soft_gate_alpha: float | None = 2.0,
     refine_with_points: bool = False,
+    use_yaw_prior: bool = False,
 ):
     """Full online mono pipeline over the reference dataset layout: per-frame
     line detection -> cuboid proposal -> measurement -> incremental BA
@@ -88,6 +89,12 @@ def run_online_slam(
     roll/pitch sampling, main_obj.cpp:624-628, so no tracker feedback enters
     the front-end), then the incremental graph scan consumes the
     measurements.
+
+    `use_yaw_prior` threads each frame's accepted yaw into the next frame's
+    hypothesis scoring (the reference's box_proposal_detail.cpp:178 TODO).
+    Off by default: on the bundled sequence it locks onto early yaw errors
+    and degrades ATE (0.186 -> 0.56 aligned); useful only with a stronger
+    per-frame detector.
     """
     import jax
 
@@ -116,6 +123,7 @@ def run_online_slam(
 
     K = jnp.asarray(K_np, dtype)
     T0_j = jnp.asarray(T0, dtype)
+    yaw_prior = None  # previous frame's accepted object yaw (temporal prior)
 
     for i in range(n):
         img_path = base / "raw_imgs" / f"{i:04d}_rgb_raw.jpg"
@@ -135,10 +143,18 @@ def run_online_slam(
         bbox = jnp.asarray(
             [yolo[0, 0] - 1.0, yolo[0, 1] - 1.0, yolo[0, 2], yolo[0, 3]], dtype
         )
-        res = detect_cuboid_single(gray, K, T0_j, bbox, lines, mask, cfg)
+        prior_arg = (
+            jnp.asarray(yaw_prior, dtype)
+            if (use_yaw_prior and yaw_prior is not None)
+            else None
+        )
+        res = detect_cuboid_single(
+            gray, K, T0_j, bbox, lines, mask, cfg, yaw_prior=prior_arg
+        )
         res = jax.tree.map(np.asarray, res)
         if not bool(res.valid):
             continue
+        yaw_prior = float(res.rotY)
         # ground-frame 9-DoF -> camera-frame measurement (main_obj.cpp:649-675)
         cube_ground = Cuboid.from_minimal(
             jnp.asarray(

@@ -70,3 +70,19 @@ def test_rgb_to_gray_rounding():
     out = float(image_ops.rgb_to_gray(img)[0, 0])
     expect = np.floor(0.299 * 100 + 0.587 * 150 + 0.114 * 200 + 0.5)
     assert out == expect
+
+
+def test_pallas_edt_matches_reference():
+    """Pallas row-min kernel (interpret mode on CPU) == dense jnp EDT."""
+    import jax
+
+    from cube_slam_wu_tpu.ops.pallas_kernels import edt_row_min
+
+    rng = np.random.default_rng(3)
+    edge = rng.random((50, 70)) < 0.03
+    edge[10, 20] = True
+    ref = np.asarray(image_ops.distance_transform(jnp.asarray(edge), use_pallas=False))
+    g = image_ops._edt_1d_columns(jnp.asarray(edge))
+    g2 = jnp.minimum(g, 1e6) ** 2
+    ours = np.asarray(edt_row_min(g2, interpret=True))
+    np.testing.assert_allclose(ours, ref, atol=1e-3)

@@ -62,3 +62,22 @@ def test_inside_box_mask():
     lines = jnp.asarray([[5.0, 5, 10, 10], [5.0, 5, 50, 10]])
     m = line_ops.inside_box_mask(lines, (0.0, 0.0), (20.0, 20.0))
     assert np.asarray(m).tolist() == [True, False]
+
+
+def test_bbox_overlap_ratio():
+    a = jnp.asarray([0.0, 0, 10, 10])
+    b = jnp.asarray([5.0, 5, 10, 10])
+    iou = float(line_ops.bbox_overlap_ratio(a, b))
+    np.testing.assert_allclose(iou, 25.0 / 175.0, atol=1e-9)
+    assert float(line_ops.bbox_overlap_ratio(a, a)) == 1.0
+    assert float(line_ops.bbox_overlap_ratio(a, jnp.asarray([20.0, 20, 5, 5]))) == 0.0
+
+
+def test_point_boundary_dist():
+    rect = jnp.asarray([0.0, 0, 10, 20])
+    np.testing.assert_allclose(
+        float(line_ops.point_boundary_dist(rect, jnp.asarray([2.0, 10.0]))), 2.0
+    )
+    np.testing.assert_allclose(
+        float(line_ops.point_boundary_dist(rect, jnp.asarray([9.0, 19.0]))), 1.0
+    )
