@@ -78,6 +78,7 @@ class ProposalConfig:
     pre_merge_angle_thre_deg: float = 5.0
     edge_length_threshold: float = 30.0
     yaw_prior_weight: float = 1.0  # score penalty per rad of mod-90 yaw drift
+    average_top_k: int = 1  # >1: average the k best hypotheses (see below)
 
     @property
     def rp_count(self) -> int:
@@ -755,6 +756,33 @@ def detect_cuboid_single(
 
     best = jnp.argmin(final)
     best_valid = jnp.isfinite(final[best])
+
+    if cfg.average_top_k > 1:
+        # variance reduction beyond the reference's argmin-top-1
+        # (max_cuboid_num=1): average the k best hypotheses' 9-DoF states,
+        # canonicalising each to the winner's front face first (rotate yaw by
+        # the nearest multiple of 90deg, swapping l/w on odd multiples — the
+        # same equivalence min_log_error uses, g2o_Object.h:104-114)
+        k = cfg.average_top_k
+        top_idx = jax.lax.top_k(-final, k)[1]
+        fin_k = final[top_idx]
+        wgt = jnp.isfinite(fin_k).astype(dtype)
+        wgt = wgt / jnp.maximum(jnp.sum(wgt), 1.0)
+        yaw_k = yaw_grid[top_idx]
+        base_yaw = yaw_k[0]
+        r = jnp.round(-(yaw_k - base_yaw) / (math.pi / 2.0))
+        yaw_adj = yaw_k + r * (math.pi / 2.0)
+        odd = jnp.mod(r, 2.0) != 0
+        len_k = jnp.where(odd, wid_h[top_idx], len_h[top_idx])
+        wid_k = jnp.where(odd, len_h[top_idx], wid_h[top_idx])
+        avg = lambda v: jnp.sum(wgt * v)
+        pos_x = pos_x.at[best].set(avg(pos_x[top_idx]))
+        pos_y = pos_y.at[best].set(avg(pos_y[top_idx]))
+        pos_z = pos_z.at[best].set(avg(pos_z[top_idx]))
+        len_h = len_h.at[best].set(avg(len_k))
+        wid_h = wid_h.at[best].set(avg(wid_k))
+        hei_h = hei_h.at[best].set(avg(hei_h[top_idx]))
+        yaw_grid = yaw_grid.at[best].set(avg(yaw_adj))
 
     b_vp1 = vp1_f[best]
     reorder = jnp.where(
