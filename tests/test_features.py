@@ -27,15 +27,17 @@ def test_harris_finds_checker_corners():
 
 
 def test_tracking_recovers_translation():
-    img1 = jnp.asarray(_checker())
-    img2 = jnp.asarray(_checker(shift=(3, 5)))  # content moves by (-3, -5)?
+    # aperiodic random-block texture: the default +-24px search window would
+    # alias on a periodic checkerboard
+    rng = np.random.default_rng(2)
+    big = np.kron(rng.uniform(20, 230, size=(20, 24)), np.ones((8, 8)))
+    img1 = jnp.asarray(big[8:128, 8:168])
+    img2 = jnp.asarray(big[11:131, 13:173])  # content shifts by (-5, -3) in (x, y)
     pts, mask = features.harris_corners(img1, max_corners=64)
     new_pts, tracked, zncc = features.track_corners(img1, img2, pts, mask)
     new_pts, tracked = np.asarray(new_pts), np.asarray(tracked)
     assert tracked.sum() >= 15
     d = new_pts[tracked] - np.asarray(pts)[tracked]
-    # checker shifted by (dy=3, dx=5) in index space means features move by
-    # (-5, -3) in (x, y)
     np.testing.assert_allclose(np.median(d[:, 0]), -5, atol=1.0)
     np.testing.assert_allclose(np.median(d[:, 1]), -3, atol=1.0)
 
