@@ -181,6 +181,31 @@ def main():
     except Exception as e:  # secondary metrics must not break the headline
         _log(f"BA bench skipped: {e}")
 
+    # ---- secondary: line detector + end-to-end online frame ---------------
+    try:
+        from cube_slam_wu_tpu.ops.detect import detect_line_segments
+
+        def make_detect_loop(n):
+            @jax.jit
+            def run():
+                def body(carry, _):
+                    lines, m = detect_line_segments(gray + carry * 0.0)
+                    return jnp.sum(jnp.where(m, lines[:, 0], 0.0)) * 0.0, None
+
+                out, _ = jax.lax.scan(body, jnp.asarray(0.0, dtype), None, length=n)
+                return out
+
+            return run
+
+        det_ms = _timed_loop(make_detect_loop, n_lo=2, n_hi=8) * 1e3
+        online_ms = det_ms + sec_per_frame * 1e3
+        _log(
+            f"line detector: {det_ms:.1f} ms/frame; online front-end "
+            f"(detect + proposal): {online_ms:.1f} ms -> {1e3 / online_ms:.1f} frames/s/chip"
+        )
+    except Exception as e:
+        _log(f"detector bench skipped: {e}")
+
     print(
         json.dumps(
             {

@@ -52,6 +52,7 @@ class DetectConfig:
     merge_angle_deg: float = 5.0
     min_length: float = 15.0  # line_lbd_detect.line_length_thres analogue
     max_merge_iters: int = 400
+    max_edge_pixels: int = 32768  # compaction cap for per-peak work
 
 
 def gaussian_blur5(gray: jnp.ndarray, sigma: float = 1.0) -> jnp.ndarray:
@@ -95,8 +96,17 @@ def detect_line_segments(gray: jnp.ndarray, cfg: DetectConfig = DetectConfig()):
     # normal (gradient) angle folded to [0, pi)
     psi = jnp.mod(jnp.arctan2(gy, gx), math.pi)
 
-    ys = jnp.arange(H, dtype=dtype)[:, None] * jnp.ones((1, W), dtype)
-    xs = jnp.ones((H, 1), dtype) * jnp.arange(W, dtype=dtype)[None, :]
+    # ---- compact to the strongest edge pixels ------------------------------
+    # (typically ~10% of the image passes NMS; all per-peak work below is
+    # O(edge pixels), which matters because TPU scatters are expensive)
+    NE = min(cfg.max_edge_pixels, H * W)
+    score_flat = jnp.where(keep, mag, 0.0).reshape(-1)
+    top_w, top_pix = jax.lax.top_k(score_flat, NE)
+    flat_w = top_w
+    flat_y = (top_pix // W).astype(dtype)
+    flat_x = (top_pix % W).astype(dtype)
+    flat_psi = psi.reshape(-1)[top_pix]
+    edge_valid = flat_w > 0
 
     # ---- Hough accumulation (votes at own angle bin +-1) -------------------
     NT = cfg.n_theta
@@ -104,16 +114,15 @@ def detect_line_segments(gray: jnp.ndarray, cfg: DetectConfig = DetectConfig()):
     NR = int(2 * diag / cfg.rho_bin) + 2
     rho_off = diag  # shift so rho >= 0
 
-    tbin = jnp.floor(psi / (math.pi / NT)).astype(jnp.int32) % NT
-    w = jnp.where(keep, mag, 0.0)
+    tbin0 = jnp.floor(flat_psi / (math.pi / NT)).astype(jnp.int32) % NT
 
     acc = jnp.zeros((NT, NR), dtype)
     for dt in (-1, 0, 1):
-        tb = (tbin + dt) % NT
+        tb = (tbin0 + dt) % NT
         theta = (tb.astype(dtype) + 0.5) * (math.pi / NT)
-        rho = xs * jnp.cos(theta) + ys * jnp.sin(theta)
+        rho = flat_x * jnp.cos(theta) + flat_y * jnp.sin(theta)
         rb = jnp.clip(((rho + rho_off) / cfg.rho_bin).astype(jnp.int32), 0, NR - 1)
-        acc = acc.at[tb.reshape(-1), rb.reshape(-1)].add(w.reshape(-1))
+        acc = acc.at[tb, rb].add(flat_w)
 
     # ---- peak extraction: 3x3 NMS then top-P -------------------------------
     def max3(a, axis, wrap):
@@ -141,21 +150,13 @@ def detect_line_segments(gray: jnp.ndarray, cfg: DetectConfig = DetectConfig()):
 
     # ---- per-peak inlier raster along the line ----------------------------
     cos_p, sin_p = jnp.cos(theta_p), jnp.sin(theta_p)
-    # distances of every edge pixel to each peak line: do it in a flat gather
-    # over edge pixels only would need dynamic shapes; instead rasterize per
-    # peak with dense maps (P x H x W is too big -> bin directly).
+    # per-peak work runs over the compacted edge-pixel list (flat_* above)
     NB = int(2 * diag / cfg.t_bin) + 2
     t_off = diag
 
-    flat_w = w.reshape(-1)
-    flat_x = xs.reshape(-1)
-    flat_y = ys.reshape(-1)
-    flat_psi = psi.reshape(-1)
-
-    # scatter per peak: occupancy[p, b] += w for inliers of peak p
-    # (P, n_pix) masks are ~P*300k bools — instead compute per-peak via a
-    # scan over peaks in chunks to bound memory.
-    CH = 32  # peaks per chunk (bounds the (CH, n_pixels) intermediates)
+    # scatter per peak: occupancy[p, b] += w for inliers of peak p,
+    # chunked over peaks to bound the (CH, n_edge_pixels) intermediates
+    CH = 32  # peaks per chunk
 
     def chunk_body(carry, pk):
         th_c, rh_c = pk  # (CH,)
@@ -168,7 +169,7 @@ def detect_line_segments(gray: jnp.ndarray, cfg: DetectConfig = DetectConfig()):
         ang_ok = _angle_dist_pi(flat_psi[None, :], th_c[:, None]) < math.radians(
             cfg.inlier_angle_tol_deg
         )
-        inl = (jnp.abs(d) < cfg.inlier_rho_tol) & ang_ok & (flat_w[None, :] > 0)
+        inl = (jnp.abs(d) < cfg.inlier_rho_tol) & ang_ok & edge_valid[None, :]
         t = -flat_x[None, :] * sn[:, None] + flat_y[None, :] * cs[:, None]
         tb = jnp.clip(((t + t_off) / cfg.t_bin).astype(jnp.int32), 0, NB - 1)
         occ = jnp.zeros((CH, NB), dtype)

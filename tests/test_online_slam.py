@@ -32,7 +32,7 @@ def test_online_ate_within_reference_band(online_output, reference_root):
     ref = ate_rmse(ref_out[:, 1:4], truth[:, 1:4])
     # parity requirement on the prefix: within 1.5x of the reference's error
     # on the same frames (full-sequence parity is tracked in scratch runs)
-    assert ours <= max(ref * 1.5, 0.15), (ours, ref)
+    assert ours <= max(ref * 1.3, 0.12), (ours, ref)
 
 
 def test_online_cuboid_plausible(online_output, reference_root):
