@@ -24,13 +24,14 @@ _BW = 128  # source columns per inner step
 def _edt_row_kernel(g2_ref, out_ref):
     """g2_ref, out_ref: (BH, W) blocks in VMEM."""
     W = g2_ref.shape[1]
-    xs = jax.lax.broadcasted_iota(jnp.float32, (1, W), 1)  # output x coords
+    # Mosaic's tpu.iota only produces integers; cast afterwards
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(jnp.float32)
 
     def body(c, acc):
         src = g2_ref[:, pl.ds(c * _BW, _BW)]  # (BH, BW) squared col-dists
-        src_x = jax.lax.broadcasted_iota(jnp.float32, (1, 1, _BW), 2) + (
-            c * _BW
-        )
+        src_x = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _BW), 2).astype(
+            jnp.float32
+        ) + (c * _BW).astype(jnp.float32)
         d = (xs[:, :, None] - src_x) ** 2 + src[:, None, :]  # (BH, W, BW)
         return jnp.minimum(acc, jnp.min(d, axis=-1))
 
