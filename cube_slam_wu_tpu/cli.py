@@ -44,6 +44,8 @@ def cmd_offline(args):
     from cube_slam_wu_tpu.slam.pipeline import run_offline_slam
     from cube_slam_wu_tpu.utils import io as uio
 
+    if not pathlib.Path(args.base).is_dir():
+        raise SystemExit(f"error: --base {args.base!r} is not a directory")
     result = run_offline_slam(args.base, iterations=args.iterations)
     truth = uio.read_number_txt(pathlib.Path(args.base) / "truth_cam_poses.txt")
     _write_outputs(args.out, result, truth)
@@ -53,6 +55,8 @@ def cmd_online(args):
     from cube_slam_wu_tpu.slam.pipeline import run_online_slam
     from cube_slam_wu_tpu.utils import io as uio
 
+    if not pathlib.Path(args.base).is_dir():
+        raise SystemExit(f"error: --base {args.base!r} is not a directory")
     result = run_online_slam(
         args.base, n_frames=args.frames, iterations=args.iterations
     )
@@ -62,6 +66,8 @@ def cmd_online(args):
 
 
 def cmd_detect_lines(args):
+    if not pathlib.Path(args.image).is_file():
+        raise SystemExit(f"error: --image {args.image!r} not found")
     import jax.numpy as jnp
 
     from cube_slam_wu_tpu.ops.detect import detect_line_segments
@@ -84,6 +90,8 @@ def cmd_detect_lines(args):
 
 
 def cmd_detect_cuboid(args):
+    if not pathlib.Path(args.image).is_file():
+        raise SystemExit(f"error: --image {args.image!r} not found")
     import jax
     import jax.numpy as jnp
 
@@ -106,7 +114,7 @@ def cmd_detect_cuboid(args):
         lines, mask = detect_line_segments(gray)
     cam = DEMO_DETECT_3D.camera
     if args.calib:
-        fx, fy, cx, cy = (float(v) for v in args.calib.split(","))
+        fx, fy, cx, cy = _parse_floats(args.calib, 4, "calib")
     else:
         fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
     K = jnp.asarray([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
@@ -122,10 +130,11 @@ def cmd_detect_cuboid(args):
             ]
         )
     )
-    bbox = jnp.asarray([float(v) for v in args.bbox.split(",")])
+    bbox = jnp.asarray(_parse_floats(args.bbox, 4, "bbox"))
     cfg = ProposalConfig(
         max_lines=int(lines.shape[0]),
         sample_cam_roll_pitch=args.sample_roll_pitch,
+        sample_bbox_height=args.sample_height,
         nominal_skew_ratio=args.skew,
     )
     res = jax.tree.map(
@@ -150,6 +159,21 @@ def cmd_detect_cuboid(args):
 
     Image.fromarray(img).save(out_dir / "cuboid_proposal.jpg")
     print(f"overlay -> {out_dir}/cuboid_proposal.jpg")
+
+
+def _parse_floats(text, n, name):
+    parts = text.split(",")
+    try:
+        vals = [float(v) for v in parts]
+    except ValueError:
+        raise SystemExit(
+            f"error: --{name} expects {n} comma-separated numbers, got {text!r}"
+        )
+    if len(vals) != n:
+        raise SystemExit(
+            f"error: --{name} expects {n} comma-separated numbers, got {len(vals)}"
+        )
+    return vals
 
 
 def main(argv=None):
@@ -182,6 +206,8 @@ def main(argv=None):
     pc.add_argument("--pose", default=None, help="4x4 T_wc txt")
     pc.add_argument("--skew", type=float, default=1.0)
     pc.add_argument("--sample-roll-pitch", action="store_true")
+    pc.add_argument("--sample-height", action="store_true",
+                    help="sample 3 bbox-height expansions (whether_sample_bbox_height)")
     pc.add_argument("--out", default="out")
     pc.set_defaults(fn=cmd_detect_cuboid)
 

@@ -79,6 +79,7 @@ class ProposalConfig:
     edge_length_threshold: float = 30.0
     yaw_prior_weight: float = 1.0  # score penalty per rad of mod-90 yaw drift
     average_top_k: int = 1  # >1: average the k best hypotheses (see below)
+    sample_bbox_height: bool = False  # 3 bbox-height samples {0, r/2, r}
 
     @property
     def rp_count(self) -> int:
@@ -533,9 +534,11 @@ def detect_cuboid_single(
       line_mask: (L,) validity of `lines`.
       cfg: static configuration.
 
-    Mirrors detect_cuboid (box_proposal_detail.cpp:65-861) with
-    whether_sample_bbox_height=False (the setting used by both reference
-    drivers: detect_3d_cuboid/src/main.cpp:68, object_slam/src/main_obj.cpp:498).
+    Mirrors detect_cuboid (box_proposal_detail.cpp:65-861).  Bbox-height
+    sampling (`cfg.sample_bbox_height`, whether_sample_bbox_height in the
+    reference) runs the grid at 3 bottom expansions {0, r/2, r} with
+    per-sample score fusion; both reference drivers default it off
+    (detect_3d_cuboid/src/main.cpp:68, object_slam/src/main_obj.cpp:498).
     """
     dtype = gray.dtype
     img_h, img_w = gray.shape
@@ -545,49 +548,10 @@ def detect_cuboid_single(
     w = jnp.floor(bbox[2])
     h = jnp.floor(bbox[3])
     right = left + w
-    down = top + h
-    down_expan = down  # no bbox-height sampling
-    diag = jnp.sqrt(w * w + h * h)
 
-    # expanded ROI (box_proposal_detail.cpp:242-248), ints in the reference
-    wid = jnp.minimum(
-        jnp.maximum(jnp.minimum(20.0, w - 100.0), 10.0),
-        jnp.maximum(jnp.minimum(20.0, h - 100.0), 10.0),
-    )
-    exp_left = jnp.maximum(0.0, left - wid)
-    exp_right = jnp.minimum(img_w - 1.0, right + wid)
-    exp_top = jnp.maximum(0.0, top - wid)
-    exp_down = jnp.minimum(img_h - 1.0, down_expan + wid)
-
-    geom = _BoxGeom(left, top, right, down_expan, exp_left, exp_top, exp_right, exp_down, diag)
-
-    # ---- lines: inside expanded ROI, merged, length-filtered --------------
     lines = line_ops.align_left_right(lines.astype(dtype))
-    inside = line_ops.inside_box_mask(
-        lines, (exp_left, exp_top), (exp_right, exp_down)
-    )
-    m_lines, m_mask = line_ops.merge_break_lines(
-        lines,
-        line_mask & inside,
-        cfg.pre_merge_dist_thre,
-        cfg.pre_merge_angle_thre_deg,
-        cfg.edge_length_threshold,
-    )
-    angles = line_ops.line_angles(m_lines)
-    mids = line_ops.line_midpoints(m_lines)
 
-    # ---- distance map -----------------------------------------------------
-    dist_map = image_ops.roi_canny_distance_map(
-        gray,
-        exp_left.astype(jnp.int32),
-        exp_top.astype(jnp.int32),
-        exp_right.astype(jnp.int32),
-        exp_down.astype(jnp.int32),
-        low=cfg.canny_low,
-        high=cfg.canny_high,
-    ).astype(dtype)
-
-    # ---- sample grids ------------------------------------------------------
+    # ---- sample grids (shared across height samples) -----------------------
     cam0 = cam.make_camera_pose(K.astype(dtype), T_wc.astype(dtype))
     euler_raw = cam0.euler
 
@@ -625,13 +589,9 @@ def detect_cuboid_single(
     top_ok = (top_xs <= right - 5.0) & (step >= 1.0)
     T = cfg.max_top_samples
 
-    # ---- vanishing points + VP-supported edges -----------------------------
+    # vanishing points depend only on (roll, pitch, yaw) — shared
     vps = vanishing_points(cams.KinvR[:, None, :, :], yaws[None, :])  # (RP, Y, 3, 2)
-    ang_a_g, ang_b_g, has_g = vp_support_edge_angles(
-        vps, mids, angles, m_mask, cfg.vp12_edge_angle_thre_deg, cfg.vp3_edge_angle_thre_deg
-    )  # (RP, Y, 3)
 
-    # ---- flatten the (RP, Y, T) grid to SoA (Hc,) arrays -------------------
     Hc = RP * Y * T
 
     def bcast_ryt(x_ry):  # (RP, Y) -> (Hc,)
@@ -651,9 +611,6 @@ def detect_cuboid_single(
         "v3x": bcast_ryt(vps[:, :, 2, 0]),
         "v3y": bcast_ryt(vps[:, :, 2, 1]),
     }
-    ang_a = [bcast_ryt(ang_a_g[:, :, k]) for k in range(3)]
-    ang_b = [bcast_ryt(ang_b_g[:, :, k]) for k in range(3)]
-    has = [bcast_ryt(has_g[:, :, k]) for k in range(3)]
     c1x = bcast_t(top_xs)
     c1y = jnp.broadcast_to(top, (Hc,))
     top_ok_f = bcast_t(top_ok)
@@ -674,37 +631,124 @@ def detect_cuboid_single(
         config_ids.append(1)
     if cfg.consider_config_2:
         config_ids.append(2)
+    nC = len(config_ids)
 
-    blocks = []
-    for config_id in config_ids:
-        cx, cy, vp1_pos, valid = _corner_chain(
-            vp, c1x, c1y, geom, config_id, cfg.shorted_edge_thre
+    def height_sample_block(down_expand, sample_valid):
+        """One bbox-height sample: ROI, lines, distance map, the full
+        hypothesis grid and its per-sample score fusion
+        (box_proposal_detail.cpp:200-799)."""
+        h_expan = h + down_expand
+        down_expan = top + h_expan
+        diag = jnp.sqrt(w * w + h_expan * h_expan)
+
+        # expanded ROI (box_proposal_detail.cpp:242-248)
+        wid = jnp.minimum(
+            jnp.maximum(jnp.minimum(20.0, w - 100.0), 10.0),
+            jnp.maximum(jnp.minimum(20.0, h_expan - 100.0), 10.0),
         )
-        valid &= top_ok_f
-        dist = _edge_dist_score(dist_map, cx, cy, config_id, cfg.reweight_edge_distance)
-        dist = dist / diag
-        angle = _edge_angle_score(ang_a, ang_b, has, cx, cy, config_id)
-        px, py, pz, lh, wh, hh = _lift_soa(cx, cy, Kinv, Twc_soa, plane)
-        blocks.append(
-            dict(
-                cx=cx,
-                cy=cy,
-                vp1=vp1_pos,
-                valid=valid,
-                dist=dist,
-                angle=angle,
-                cfg_id=jnp.full((Hc,), config_id, jnp.int32),
-                pos_x=px,
-                pos_y=py,
-                pos_z=pz,
-                len_h=lh,
-                wid_h=wh,
-                hei_h=hh,
+        exp_left = jnp.maximum(0.0, left - wid)
+        exp_right = jnp.minimum(img_w - 1.0, right + wid)
+        exp_top = jnp.maximum(0.0, top - wid)
+        exp_down = jnp.minimum(img_h - 1.0, down_expan + wid)
+        geom = _BoxGeom(
+            left, top, right, down_expan, exp_left, exp_top, exp_right, exp_down, diag
+        )
+
+        # lines inside this ROI, merged, length-filtered
+        inside = line_ops.inside_box_mask(
+            lines, (exp_left, exp_top), (exp_right, exp_down)
+        )
+        m_lines, m_mask = line_ops.merge_break_lines(
+            lines,
+            line_mask & inside,
+            cfg.pre_merge_dist_thre,
+            cfg.pre_merge_angle_thre_deg,
+            cfg.edge_length_threshold,
+        )
+        angles = line_ops.line_angles(m_lines)
+        mids = line_ops.line_midpoints(m_lines)
+
+        dist_map = image_ops.roi_canny_distance_map(
+            gray,
+            exp_left.astype(jnp.int32),
+            exp_top.astype(jnp.int32),
+            exp_right.astype(jnp.int32),
+            exp_down.astype(jnp.int32),
+            low=cfg.canny_low,
+            high=cfg.canny_high,
+        ).astype(dtype)
+
+        ang_a_g, ang_b_g, has_g = vp_support_edge_angles(
+            vps, mids, angles, m_mask,
+            cfg.vp12_edge_angle_thre_deg, cfg.vp3_edge_angle_thre_deg,
+        )  # (RP, Y, 3)
+        ang_a = [bcast_ryt(ang_a_g[:, :, k]) for k in range(3)]
+        ang_b = [bcast_ryt(ang_b_g[:, :, k]) for k in range(3)]
+        has = [bcast_ryt(has_g[:, :, k]) for k in range(3)]
+
+        blocks = []
+        for config_id in config_ids:
+            cx, cy, vp1_pos, valid = _corner_chain(
+                vp, c1x, c1y, geom, config_id, cfg.shorted_edge_thre
             )
-        )
+            valid &= top_ok_f & sample_valid
+            dist = _edge_dist_score(
+                dist_map, cx, cy, config_id, cfg.reweight_edge_distance
+            )
+            dist = dist / diag
+            angle = _edge_angle_score(ang_a, ang_b, has, cx, cy, config_id)
+            px, py, pz, lh, wh, hh = _lift_soa(cx, cy, Kinv, Twc_soa, plane)
+            blocks.append(
+                dict(
+                    cx=cx,
+                    cy=cy,
+                    vp1=vp1_pos,
+                    valid=valid,
+                    dist=dist,
+                    angle=angle,
+                    cfg_id=jnp.full((Hc,), config_id, jnp.int32),
+                    pos_x=px,
+                    pos_y=py,
+                    pos_z=pz,
+                    len_h=lh,
+                    wid_h=wh,
+                    hei_h=hh,
+                )
+            )
 
-    def cat(key, axis=-1):
-        return jnp.concatenate([b[key] for b in blocks], axis=axis)
+        out = {
+            key: jnp.concatenate([b[key] for b in blocks], axis=-1)
+            for key in blocks[0]
+        }
+        # score fusion runs PER height sample (box_proposal_detail.cpp:715)
+        scores, kept = fuse_normalized_scores(
+            out["dist"], out["angle"], out["valid"],
+            cfg.weight_vp_angle, cfg.whether_normalize_two_errors,
+        )
+        out["scores"] = scores
+        out["kept"] = kept
+        out["down_expand"] = jnp.broadcast_to(down_expand, scores.shape)
+        out["dist_map"] = dist_map
+        out["m_lines"] = m_lines
+        out["m_mask"] = m_mask
+        return out
+
+    # bbox-height samples (box_proposal_detail.cpp:160-172)
+    if cfg.sample_bbox_height:
+        rng = jnp.maximum(jnp.minimum(20.0, h - 90.0), 20.0)
+        rng = jnp.minimum(rng, img_h - top - h - 1.0)
+        height_samples = [
+            (jnp.asarray(0.0, dtype), jnp.asarray(True)),
+            (jnp.round(rng / 2.0), rng > 10.0),
+            (rng, jnp.asarray(True)),
+        ]
+    else:
+        height_samples = [(jnp.asarray(0.0, dtype), jnp.asarray(True))]
+
+    hblocks = [height_sample_block(d, v) for d, v in height_samples]
+
+    def cat(key):
+        return jnp.concatenate([b[key] for b in hblocks], axis=-1)
 
     cx_f = cat("cx")  # (8, H)
     cy_f = cat("cy")
@@ -719,15 +763,13 @@ def detect_cuboid_single(
     len_h = cat("len_h")
     wid_h = cat("wid_h")
     hei_h = cat("hei_h")
-    nC = len(config_ids)
-    yaw_grid = jnp.concatenate([yaw_f] * nC)
-    roll_grid = jnp.concatenate([roll_f] * nC)
-    pitch_grid = jnp.concatenate([pitch_f] * nC)
-
-    # ---- fusion ------------------------------------------------------------
-    scores, kept = fuse_normalized_scores(
-        dist_f, angle_f, valid_f, cfg.weight_vp_angle, cfg.whether_normalize_two_errors
-    )
+    scores = cat("scores")
+    kept = cat("kept")
+    down_expand_f = cat("down_expand")
+    nS = len(hblocks)
+    yaw_grid = jnp.concatenate([yaw_f] * (nC * nS))
+    roll_grid = jnp.concatenate([roll_f] * (nC * nS))
+    pitch_grid = jnp.concatenate([pitch_f] * (nC * nS))
 
     scale_ok = (
         (len_h >= 0)
@@ -829,9 +871,9 @@ def detect_cuboid_single(
         yaw_grid=yaw_grid,
         pos=jnp.stack([pos_x, pos_y, pos_z], axis=-1),
         scale=jnp.stack([len_h, wid_h, hei_h], axis=-1),
-        merged_lines=m_lines,
-        merged_mask=m_mask,
-        dist_map=dist_map,
+        merged_lines=hblocks[0]["m_lines"],
+        merged_mask=hblocks[0]["m_mask"],
+        dist_map=hblocks[0]["dist_map"],
         yaws=yaws,
         top_xs=top_xs,
         top_ok=top_ok,

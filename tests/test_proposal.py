@@ -195,3 +195,26 @@ def test_multi_box_batch(demo_inputs):
     )
     np.testing.assert_allclose(res.pos[0], single.pos, atol=1e-9)
     np.testing.assert_allclose(res.rotY[0], single.rotY, atol=1e-12)
+
+
+def test_height_sampling(demo_inputs):
+    """Bbox-height sampling (whether_sample_bbox_height) triples the grid
+    with per-sample fusion; it must run, produce a valid winner, and agree
+    with the single-sample result when the extra samples lose."""
+    gray, K, T_wc, bbox, lines, mask = demo_inputs
+    cfg = ProposalConfig(max_lines=lines.shape[0], sample_bbox_height=True)
+    res = detect_cuboid_single(
+        gray,
+        jnp.asarray(K),
+        jnp.asarray(T_wc),
+        jnp.asarray(bbox),
+        jnp.asarray(lines),
+        jnp.asarray(mask),
+        cfg,
+    )
+    res = jax.tree.map(np.asarray, res)
+    assert res.valid
+    assert np.all(res.scale > 0)
+    # the winner is the demo chair: position in the same neighbourhood as the
+    # single-sample result (height sampling may pick a different expansion)
+    np.testing.assert_allclose(res.pos[:2], [-0.2558, 1.7545], atol=0.3)
