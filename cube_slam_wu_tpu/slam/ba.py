@@ -61,35 +61,63 @@ def _apply_increments(graph: CameraObjectGraph, dx: jnp.ndarray, fix_first: bool
     return cam_new, cube_new
 
 
-def _residual_vector(graph: CameraObjectGraph, dx: jnp.ndarray, fix_first: bool):
+def _huber_scale(res: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """IRLS square-root Huber weight per edge (last axis = residual dims),
+    matching g2o's RobustKernelHuber (robust_kernel_impl.cpp): residual
+    blocks with norm > delta are scaled by sqrt(delta/norm)."""
+    # safe sqrt: jnp.linalg.norm's derivative is NaN at exactly-zero rows
+    # (masked edges are identically zero), which would poison the Jacobian
+    norm = jnp.sqrt(jnp.sum(res * res, axis=-1, keepdims=True) + 1e-24)
+    w = jnp.sqrt(jnp.minimum(1.0, delta / norm))
+    return res * w
+
+
+def _residual_vector(
+    graph: CameraObjectGraph,
+    dx: jnp.ndarray,
+    fix_first: bool,
+    robust_delta: float | None = None,
+):
     cam, cube = _apply_increments(graph, dx, fix_first)
     odom_res, cube_res, bbox_res = graph_residuals(graph, cam, cube)
+    if robust_delta is not None:
+        # the reference ships robust kernels unused (g2o robust_kernel_impl);
+        # here they are an optional cap on any single edge's influence
+        odom_res = _huber_scale(odom_res, robust_delta)
+        cube_res = _huber_scale(cube_res, robust_delta)
+        bbox_res = _huber_scale(bbox_res, robust_delta)
     return jnp.concatenate(
         [odom_res.reshape(-1), cube_res.reshape(-1), bbox_res.reshape(-1)]
     )
 
 
-@functools.partial(jax.jit, static_argnames=("iterations", "fix_first"))
+@functools.partial(
+    jax.jit, static_argnames=("iterations", "fix_first", "robust_delta")
+)
 def optimize(
     graph: CameraObjectGraph,
     iterations: int = 5,
     fix_first: bool = True,
+    robust_delta: float | None = None,
 ) -> BAResult:
     """Run LM for `iterations` outer iterations (graph.optimize(k) analogue,
-    main_obj.cpp:802-803) and return updated estimates."""
+    main_obj.cpp:802-803) and return updated estimates.
+
+    `robust_delta` enables a Huber kernel on every edge (norm cap in the
+    residual metric); None mirrors the reference's plain least squares."""
     F = graph.capacity
     dtype = graph.cam_Tcw.trans.dtype
     n = F * 6 + graph.n_objects * 9
 
     def chi2_of(g: CameraObjectGraph):
         zero = jnp.zeros((n,), dtype)
-        r = _residual_vector(g, zero, fix_first)
+        r = _residual_vector(g, zero, fix_first, robust_delta)
         return jnp.sum(r * r)
 
     def linearize(g: CameraObjectGraph):
         zero = jnp.zeros((n,), dtype)
-        r0 = _residual_vector(g, zero, fix_first)
-        J = jax.jacfwd(lambda dx: _residual_vector(g, dx, fix_first))(zero)
+        r0 = _residual_vector(g, zero, fix_first, robust_delta)
+        J = jax.jacfwd(lambda dx: _residual_vector(g, dx, fix_first, robust_delta))(zero)
         H = J.T @ J
         grad = J.T @ r0
         chi2 = jnp.sum(r0 * r0)

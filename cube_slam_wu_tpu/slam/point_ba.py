@@ -42,6 +42,11 @@ class PointFactors(NamedTuple):
 
     points: (P, 3) world positions; obs_uv: (F, P, 2) pixel observations;
     obs_mask: (F, P) validity; obs_weight: (F, P) sqrt-information.
+
+    Stereo (g2o EdgeStereoSE3ProjectXYZ, types_six_dof_expmap.h:217-270):
+    obs_ur (F, P) right-camera u observations with stereo_mask; `baseline`
+    is fx*b in pixels.  Stereo rows add a third residual
+    u_r_pred = u - baseline/z.
     """
 
     points: jnp.ndarray
@@ -49,6 +54,9 @@ class PointFactors(NamedTuple):
     obs_uv: jnp.ndarray
     obs_mask: jnp.ndarray
     obs_weight: jnp.ndarray
+    obs_ur: jnp.ndarray | None = None  # (F, P) right-image u
+    stereo_mask: jnp.ndarray | None = None  # (F, P)
+    baseline: float = 0.0  # fx * b (pixels)
 
     @staticmethod
     def empty(n_frames: int, n_points: int, dtype=jnp.float64) -> "PointFactors":
@@ -70,12 +78,30 @@ def project_point(Tcw: SE3, X: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([u, v], axis=-1)
 
 
+def project_point_stereo(
+    Tcw: SE3, X: jnp.ndarray, K: jnp.ndarray, baseline: float
+) -> jnp.ndarray:
+    """World point -> (u, v, u_right) (EdgeStereoSE3ProjectXYZ cam_project,
+    types_six_dof_expmap.h:217-270); baseline = fx*b in pixels."""
+    pc = Tcw.apply(X)
+    z = jnp.maximum(pc[..., 2], 1e-9)
+    u = K[0, 0] * pc[..., 0] / z + K[0, 2]
+    v = K[1, 1] * pc[..., 1] / z + K[1, 2]
+    return jnp.stack([u, v, u - baseline / z], axis=-1)
+
+
 def _obs_residual(d_pose, d_point, Tcw0: SE3, X0, uv, K):
     """Residual of one observation as a function of local increments
     (left-multiplicative pose update, additive point update)."""
     Tcw = SE3.exp(d_pose).compose(Tcw0)
     X = X0 + d_point
     return uv - project_point(Tcw, X, K)
+
+
+def _obs_residual_stereo(d_pose, d_point, Tcw0: SE3, X0, uvr, K, baseline):
+    Tcw = SE3.exp(d_pose).compose(Tcw0)
+    X = X0 + d_point
+    return uvr - project_point_stereo(Tcw, X, K, baseline)
 
 
 @jax.jit
@@ -146,25 +172,43 @@ def optimize(
     zeros6 = jnp.zeros((6,), dtype)
     zeros3 = jnp.zeros((3,), dtype)
 
+    stereo = pts.obs_ur is not None
+    if stereo:
+        obs_ur = pts.obs_ur
+        stereo_mask = pts.stereo_mask
+        if stereo_mask is None:
+            stereo_mask = jnp.ones(obs_ur.shape, bool)
+    else:
+        obs_ur = jnp.zeros(pts.obs_mask.shape, dtype)
+        stereo_mask = jnp.zeros(pts.obs_mask.shape, bool)
+
     def point_terms(cam_Tcw: SE3, points: jnp.ndarray):
         """Per-observation residuals + Jacobians, masked.
 
-        Returns r (F, P, 2), A (F, P, 2, 6) pose Jacobian, B (F, P, 2, 3)."""
+        Mono: r (F, P, 2); stereo: r (F, P, 3) with the third row (right-u)
+        gated by stereo_mask.  A: pose Jacobians, B: point Jacobians."""
 
-        def per_obs(Tcw_f, X_p, uv, w, m):
-            r = _obs_residual(zeros6, zeros3, Tcw_f, X_p, uv, K)
-            A = jax.jacfwd(lambda d: _obs_residual(d, zeros3, Tcw_f, X_p, uv, K))(
-                zeros6
-            )
-            B = jax.jacfwd(lambda d: _obs_residual(zeros6, d, Tcw_f, X_p, uv, K))(
-                zeros3
-            )
-            scale = jnp.where(m, w, 0.0)
-            return r * scale, A * scale, B * scale
+        def per_obs(Tcw_f, X_p, uv, ur, w, m, sm):
+            if stereo:
+                uvr = jnp.concatenate([uv, ur[None]])
+                res_fn = lambda dp, dx: _obs_residual_stereo(
+                    dp, dx, Tcw_f, X_p, uvr, K, pts.baseline
+                )
+                row_mask = jnp.stack([m, m, m & sm])
+            else:
+                res_fn = lambda dp, dx: _obs_residual(dp, dx, Tcw_f, X_p, uv, K)
+                row_mask = jnp.stack([m, m])
+            r = res_fn(zeros6, zeros3)
+            A = jax.jacfwd(lambda d: res_fn(d, zeros3))(zeros6)
+            B = jax.jacfwd(lambda d: res_fn(zeros6, d))(zeros3)
+            scale = jnp.where(row_mask, w, 0.0)
+            return r * scale, A * scale[:, None], B * scale[:, None]
 
-        per_point = jax.vmap(per_obs, in_axes=(None, 0, 0, 0, 0))
-        per_frame = jax.vmap(per_point, in_axes=(0, None, 0, 0, 0))
-        return per_frame(cam_Tcw, points, pts.obs_uv, pts.obs_weight, pts.obs_mask)
+        per_point = jax.vmap(per_obs, in_axes=(None, 0, 0, 0, 0, 0, 0))
+        per_frame = jax.vmap(per_point, in_axes=(0, None, 0, 0, 0, 0, 0))
+        return per_frame(
+            cam_Tcw, points, pts.obs_uv, obs_ur, pts.obs_weight, pts.obs_mask, stereo_mask
+        )
 
     frame_gate = graph.frame_mask.astype(dtype)
     if fix_first:

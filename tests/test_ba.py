@@ -111,3 +111,22 @@ def test_noisy_measurements_still_converge():
     res = ba.optimize(graph, iterations=8)
     assert np.isfinite(float(res.chi2))
     assert float(res.chi2) < c0
+
+
+def test_huber_tames_outlier_measurement():
+    """A corrupted cuboid measurement drags plain LM; the Huber kernel caps
+    its influence (g2o robust-kernel capability, shipped unused by the
+    reference driver)."""
+    graph, true_Tcw, _ = _make_synthetic(F=8, n_active=8, noise=0.02, seed=7)
+    bad = Cuboid.from_minimal(jnp.asarray([3.0, -1.0, 1.5, 0, 0, 1.2, 0.9, 0.8, 0.7]))
+    cm = graph.cube_meas
+    cm = jax.tree.map(
+        lambda full, b: full.at[4, 0].set(b), cm, bad
+    )
+    graph = graph._replace(cube_meas=cm)
+
+    res_plain = ba.optimize(graph, iterations=8)
+    res_huber = ba.optimize(graph, iterations=8, robust_delta=0.5)
+    err_plain = np.abs(np.asarray(res_plain.cam_Tcw.compose(true_Tcw.inverse()).log())).max()
+    err_huber = np.abs(np.asarray(res_huber.cam_Tcw.compose(true_Tcw.inverse()).log())).max()
+    assert err_huber < err_plain * 0.7, (err_huber, err_plain)

@@ -110,3 +110,38 @@ def test_triangulation_rejects_single_view():
     mask = jnp.zeros((3, 4), bool).at[0, :].set(True)  # one observation each
     _, ok = point_ba.triangulate_points(Tcw, uv, mask, K)
     assert not np.asarray(ok).any()
+
+
+def test_stereo_projection_edges():
+    """Stereo observations (u, v, u_right) constrain depth directly
+    (EdgeStereoSE3ProjectXYZ coverage): with a single camera frame, mono
+    observations cannot fix point depth but stereo ones can."""
+    from cube_slam_wu_tpu.slam.point_ba import PointFactors
+
+    rng = np.random.default_rng(3)
+    F, P = 2, 12
+    Tcw = SE3.identity((F,), jnp.float64)
+    pts_true = jnp.asarray(
+        np.stack([rng.uniform(-1, 1, P), rng.uniform(-1, 1, P), rng.uniform(4, 8, P)], 1)
+    )
+    baseline = 0.5 * 500.0  # fx * b
+    uvr = jax.vmap(
+        lambda T: jax.vmap(
+            lambda X: point_ba.project_point_stereo(T, X, K, baseline)
+        )(pts_true)
+    )(Tcw)
+    graph, _, _ = _make_synthetic(F=2, n_active=2, noise=0.0, seed=1)
+    pts_init = pts_true * jnp.asarray([1.0, 1.0, 1.3])  # depth-biased init
+    factors = PointFactors(
+        points=pts_init,
+        point_mask=jnp.ones(P, bool),
+        obs_uv=uvr[..., :2],
+        obs_mask=jnp.ones((F, P), bool),
+        obs_weight=jnp.ones((F, P)),
+        obs_ur=uvr[..., 2],
+        stereo_mask=jnp.ones((F, P), bool),
+        baseline=baseline,
+    )
+    res = point_ba.optimize(graph, factors, K, iterations=10, fix_first=True)
+    err = np.linalg.norm(np.asarray(res.points - pts_true), axis=1)
+    assert err.max() < 1e-3, err.max()
