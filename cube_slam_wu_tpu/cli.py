@@ -30,7 +30,12 @@ def _write_outputs(out_dir, result, truth):
     uio.write_tum_trajectory(
         out_dir / "output_cam_poses.txt", result.timestamps, result.traj_Twc_xyzq
     )
-    np.savetxt(out_dir / "output_obj_poses.txt", result.cube_minimal[None], fmt="%.6f")
+    obj_rows = (
+        result.cube_history[:, 0, :]
+        if result.cube_history is not None
+        else result.cube_minimal[None]
+    )
+    np.savetxt(out_dir / "output_obj_poses.txt", obj_rows, fmt="%.6f")
     img = viz.trajectory_top_view(result.traj_Twc_xyzq[:, :3], truth[:, 1:4])
     from PIL import Image
 

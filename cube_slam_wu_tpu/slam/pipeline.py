@@ -178,7 +178,7 @@ def run_online_slam(
         has_meas=jnp.asarray(has[:, None]),
         active=jnp.ones((n,), bool),
     )
-    graph, chi2s = tracker.run_incremental(
+    graph, chi2s, cube_hist = tracker.run_incremental(
         first_Twc, frames, iterations=iterations, soft_gate_alpha=soft_gate_alpha
     )
 
@@ -192,6 +192,7 @@ def run_online_slam(
         cube_minimal=cube,
         chi2=np.asarray(chi2s),
         timestamps=truth[:n, 0],
+        cube_history=np.asarray(cube_hist),
     )
 
 
@@ -263,6 +264,7 @@ class SlamOutput(NamedTuple):
     cube_minimal: np.ndarray  # (9,) final cuboid [xyz rpy lwh]
     chi2: np.ndarray  # (N,) per-frame final chi2
     timestamps: np.ndarray
+    cube_history: np.ndarray | None = None  # (N, O, 9) per-frame optimized
 
 
 def run_offline_slam(base_folder, iterations: int = 5, dtype=jnp.float64) -> SlamOutput:
@@ -272,7 +274,9 @@ def run_offline_slam(base_folder, iterations: int = 5, dtype=jnp.float64) -> Sla
     data = load_offline_dataset(base_folder)
     frames = build_offline_frames(data, dtype)
     first_Twc = SE3.from_xyzq(jnp.asarray(data.truth_poses[0, 1:8], dtype))
-    graph, chi2s = tracker.run_incremental(first_Twc, frames, iterations=iterations)
+    graph, chi2s, cube_hist = tracker.run_incremental(
+        first_Twc, frames, iterations=iterations
+    )
     traj = np.asarray(graph.cam_Twc().to_xyzq())
     cube = np.asarray(graph.cube.to_minimal())[0]
     return SlamOutput(
@@ -280,4 +284,5 @@ def run_offline_slam(base_folder, iterations: int = 5, dtype=jnp.float64) -> Sla
         cube_minimal=cube,
         chi2=np.asarray(chi2s),
         timestamps=data.truth_poses[:, 0],
+        cube_history=np.asarray(cube_hist),
     )

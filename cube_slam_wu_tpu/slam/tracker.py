@@ -138,7 +138,9 @@ def make_incremental_step(
         g = g._replace(cam_Tcw=result.cam_Tcw, cube=result.cube)
         # skip everything for padded slots
         g = jax.tree.map(lambda a, b: jnp.where(frame.active, a, b), g, graph)
-        return g, result.chi2
+        # per-frame optimized landmark snapshot (cube_pose_opti_history,
+        # main_obj.cpp:815-819)
+        return g, (result.chi2, g.cube.to_minimal())
 
     return step
 
@@ -152,7 +154,11 @@ def run_incremental(
     soft_gate_alpha: float | None = None,
     soft_gate_power: float = 1.0,
 ):
-    """Run incremental SLAM over all frames; returns (graph, chi2_history).
+    """Run incremental SLAM over all frames.
+
+    Returns (graph, chi2_history (N,), cube_history (N, O, 9)) — the
+    per-frame optimized landmark snapshots mirror the reference's
+    cube_pose_opti_history (main_obj.cpp:815-819).
 
     frames fields have leading axes (N, O) (padded allowed via `active`)."""
     n, n_obj = frames.quality.shape
@@ -168,5 +174,7 @@ def run_incremental(
         jnp.broadcast_to(first_Twc.quat, (n, 4)),
         jnp.broadcast_to(first_Twc.trans, (n, 3)),
     )
-    graph, chi2s = jax.lax.scan(step, graph, (idxs, frames, first_b))
-    return graph, chi2s
+    graph, (chi2s, cube_history) = jax.lax.scan(
+        step, graph, (idxs, frames, first_b)
+    )
+    return graph, chi2s, cube_history

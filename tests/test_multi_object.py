@@ -123,8 +123,15 @@ def test_incremental_multi_object_init():
         has_meas=jnp.asarray(has),
         active=jnp.ones(F, bool),
     )
-    graph, chi2 = tracker.run_incremental(true_Twc[0], frames, iterations=3)
+    graph, chi2, cube_hist = tracker.run_incremental(
+        true_Twc[0], frames, iterations=3
+    )
     assert np.asarray(graph.cube_valid).all()
+    # per-frame optimized history: (F, O, 9); last row matches the final state
+    assert cube_hist.shape == (F, O, 9)
+    np.testing.assert_allclose(
+        np.asarray(cube_hist[-1]), np.asarray(graph.cube.to_minimal()), atol=1e-12
+    )
     # exactness is unreachable: frame 1's odometry measurement is identity by
     # reference semantics (no velocity estimate yet, main_obj.cpp:556-562),
     # which conflicts with the true motion; the residual equilibrium leaves a
