@@ -12,6 +12,7 @@ from __future__ import annotations
 import pathlib
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,9 +37,16 @@ def load_offline_dataset(base_folder) -> OfflineData:
     )
 
 
-def build_offline_frames(data: OfflineData, dtype=jnp.float64) -> tracker.FrameInput:
+def _default_dtype():
+    """float64 when x64 is enabled (CPU tests), else float32 (TPU backends
+    without x64 support — avoids per-array truncation warnings)."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def build_offline_frames(data: OfflineData, dtype=None) -> tracker.FrameInput:
     """Assemble per-frame measurement inputs from the offline txts
     (main_obj.cpp:682-736)."""
+    dtype = dtype or _default_dtype()
     n = data.truth_poses.shape[0]
     meas9 = np.zeros((n, 9))
     quality = np.zeros((n,))
@@ -73,7 +81,7 @@ def run_online_slam(
     base_folder,
     n_frames: int | None = None,
     iterations: int = 5,
-    dtype=jnp.float64,
+    dtype=None,
     detect_cfg=None,
     proposal_overrides: dict | None = None,
     soft_gate_alpha: float | None = 2.0,
@@ -96,12 +104,11 @@ def run_online_slam(
     and degrades ATE (0.186 -> 0.56 aligned); useful only with a stronger
     per-frame detector.
     """
-    import jax
-
     from cube_slam_wu_tpu.core import rotations as rotu
     from cube_slam_wu_tpu.ops.detect import DetectConfig, detect_line_segments
     from cube_slam_wu_tpu.ops.proposal import ProposalConfig, detect_cuboid_single
 
+    dtype = dtype or _default_dtype()
     base = pathlib.Path(base_folder)
     truth = uio.read_number_txt(base / "truth_cam_poses.txt")
     n = truth.shape[0] if n_frames is None else min(n_frames, truth.shape[0])
@@ -267,10 +274,11 @@ class SlamOutput(NamedTuple):
     cube_history: np.ndarray | None = None  # (N, O, 9) per-frame optimized
 
 
-def run_offline_slam(base_folder, iterations: int = 5, dtype=jnp.float64) -> SlamOutput:
+def run_offline_slam(base_folder, iterations: int = 5, dtype=None) -> SlamOutput:
     """Offline-mode incremental SLAM over the bundled dataset; returns the
     optimized trajectory (camera-to-world, TUM order) like
     output_cam_poses.txt."""
+    dtype = dtype or _default_dtype()
     data = load_offline_dataset(base_folder)
     frames = build_offline_frames(data, dtype)
     first_Twc = SE3.from_xyzq(jnp.asarray(data.truth_poses[0, 1:8], dtype))
