@@ -159,3 +159,80 @@ def optimize(
     return BAResult(
         cam_Tcw=g_fin.cam_Tcw, cube=g_fin.cube, chi2=chi2_fin, lambda_final=lam_fin
     )
+
+
+class MarginalCovariance(NamedTuple):
+    cam: jnp.ndarray  # (F, 6, 6) per-camera tangent-space covariance blocks
+    cube: jnp.ndarray  # (O, 9, 9) per-cuboid covariance blocks
+    cam_valid: jnp.ndarray  # (F,) bool: block is estimable (active, not gauge)
+    cube_valid: jnp.ndarray  # (O,) bool
+
+
+@functools.partial(jax.jit, static_argnames=("fix_first", "robust_delta"))
+def marginal_covariance(
+    graph: CameraObjectGraph,
+    fix_first: bool = True,
+    robust_delta: float | None = None,
+) -> MarginalCovariance:
+    """Per-vertex marginal covariance blocks of the current estimate.
+
+    Linearizes at the current estimate and inverts the Gauss-Newton
+    information matrix H = J^T J — the same quantity g2o's
+    SparseOptimizer::computeMarginals extracts via a sparse partial inverse
+    (Thirdparty/g2o g2o/core/sparse_optimizer.h; the reference driver never
+    calls it, but it is part of the optimizer's API surface).  Because the
+    residuals are pre-scaled by sqrt-information (cube_meas_weight), H is
+    the information matrix and its inverse the covariance.
+
+    Gauge/inactive parameters (the fixed first camera, masked frames,
+    uninitialised cuboids) have zero Jacobian columns; their rows/columns
+    are replaced by identity before the inverse and their blocks reported
+    as zero with `*_valid` False.
+
+    With `fix_first=False` the global gauge is unconstrained and H is
+    singular along it — the returned blocks are then numerically meaningless
+    (~1e14 pseudo-variances).  Keep the gauge fixed when extracting
+    covariances, exactly as g2o requires a fixed vertex for computeMarginals.
+    """
+    F = graph.capacity
+    O = graph.n_objects
+    dtype = graph.cam_Tcw.trans.dtype
+    n = F * 6 + O * 9
+
+    zero = jnp.zeros((n,), dtype)
+    J = jax.jacfwd(lambda dx: _residual_vector(graph, dx, fix_first, robust_delta))(
+        zero
+    )
+    H = J.T @ J
+
+    cam_active = graph.frame_mask
+    if fix_first:
+        cam_active = cam_active & (jnp.arange(F) != 0)
+    active = jnp.concatenate(
+        [
+            jnp.repeat(cam_active, 6),
+            jnp.repeat(graph.cube_valid, 9),
+        ]
+    )
+    # identity on the inactive complement keeps H nonsingular without
+    # perturbing the active sub-block's inverse (block-diagonal split)
+    a = active.astype(dtype)
+    H_reg = H * (a[:, None] * a[None, :]) + jnp.diag(1.0 - a)
+    sigma = jnp.linalg.inv(H_reg) * (a[:, None] * a[None, :])
+
+    cam_blocks = jnp.stack(
+        [sigma[i * 6 : (i + 1) * 6, i * 6 : (i + 1) * 6] for i in range(F)]
+    )
+    base = F * 6
+    cube_blocks = jnp.stack(
+        [
+            sigma[base + i * 9 : base + (i + 1) * 9, base + i * 9 : base + (i + 1) * 9]
+            for i in range(O)
+        ]
+    )
+    return MarginalCovariance(
+        cam=cam_blocks,
+        cube=cube_blocks,
+        cam_valid=cam_active,
+        cube_valid=graph.cube_valid,
+    )
