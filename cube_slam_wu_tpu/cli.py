@@ -23,7 +23,7 @@ import numpy as np
 def _write_outputs(out_dir, result, truth):
     from cube_slam_wu_tpu.utils import io as uio
     from cube_slam_wu_tpu.utils import viz
-    from cube_slam_wu_tpu.utils.metrics import ate_rmse
+    from cube_slam_wu_tpu.utils.metrics import ate_rmse, rpe_rmse
 
     out_dir = pathlib.Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -41,7 +41,9 @@ def _write_outputs(out_dir, result, truth):
 
     Image.fromarray(img).save(out_dir / "trajectory_top_view.png")
     ate = ate_rmse(result.traj_Twc_xyzq[:, :3], truth[:, 1:4])
+    rpe_t, rpe_r = rpe_rmse(result.traj_Twc_xyzq, truth[:, 1:8])
     print(f"ATE RMSE vs truth: {ate:.4f} m")
+    print(f"RPE RMSE (delta=1): {rpe_t:.4f} m / {rpe_r:.4f} deg")
     print(f"outputs written to {out_dir}")
 
 
