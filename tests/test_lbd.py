@@ -84,3 +84,44 @@ def test_match_across_frames(reference_root):
     moved = np.linalg.norm(mids1[matched] - mids2[idx[matched]], axis=1)
     frac_consistent = float((moved < 40).mean())
     assert frac_consistent >= 0.5, (frac_consistent, np.median(moved))
+
+
+def test_l2_match_self_identity():
+    rng = np.random.default_rng(3)
+    desc = rng.normal(size=(12, 72))
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    desc = jnp.asarray(desc)
+    mask = jnp.ones(12, bool)
+    idx, dist, ok = lbd.l2_match(desc, desc, mask, mask)
+    assert np.array_equal(np.asarray(idx), np.arange(12))
+    assert np.asarray(ok).all()
+    assert np.asarray(dist).max() < 1e-6
+
+
+def test_l2_match_midpoint_gate():
+    rng = np.random.default_rng(4)
+    desc = rng.normal(size=(4, 72))
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    desc = jnp.asarray(desc)
+    mask = jnp.ones(4, bool)
+    # train lines far away except index 2
+    qlines = jnp.asarray(np.tile([0.0, 0.0, 10.0, 0.0], (4, 1)))
+    tlines = jnp.asarray(
+        np.stack(
+            [
+                [500.0, 500.0, 510.0, 500.0],
+                [500.0, 500.0, 510.0, 500.0],
+                [1.0, 1.0, 11.0, 1.0],
+                [500.0, 500.0, 510.0, 500.0],
+            ]
+        )
+    )
+    idx, dist, ok = lbd.l2_match(
+        desc, desc, mask, mask,
+        query_lines=qlines, train_lines=tlines, max_midpoint_dist=50.0,
+    )
+    # every query is forced onto the only nearby train line (2); queries whose
+    # best allowed distance exceeds the threshold are rejected
+    assert np.array_equal(np.asarray(idx), np.full(4, 2))
+    assert bool(ok[2])  # exact self-match survives
+    assert not np.asarray(ok)[[0, 1, 3]].any()  # mutual check kills the rest
