@@ -55,3 +55,38 @@ def write_tum_trajectory(path, timestamps, poses_xyzq) -> None:
     )
     header = "timestamp tx ty tz qx qy qz qw"
     np.savetxt(path, arr, fmt="%.6f", header=header)
+
+
+def read_detections_txt(path, n_max: int | None = None):
+    """Read a per-frame 2D detection file (yolo-style rows `x y w h conf`,
+    the reference's filter_2d_obj_txts layout consumed by main_obj.cpp's
+    online branch).
+
+    Empty files (detector dropout — e.g. frame 20 of the bundled sequence)
+    yield zero valid rows.  Returns (boxes (N, 4) float64 corners
+    [x1 y1 x2 y2], conf (N,), mask (N,) bool); with `n_max` the arrays are
+    padded/truncated to exactly n_max rows for fixed-shape pipelines.
+    """
+    rows = read_number_txt(path)
+    rows = rows.reshape(-1, 5) if rows.size else np.zeros((0, 5))
+    boxes = np.column_stack(
+        [
+            rows[:, 0],
+            rows[:, 1],
+            rows[:, 0] + rows[:, 2],
+            rows[:, 1] + rows[:, 3],
+        ]
+    )
+    conf = rows[:, 4]
+    mask = np.ones(len(rows), bool)
+    if n_max is not None:
+        n = len(rows)
+        if n >= n_max:
+            order = np.argsort(-conf)[:n_max]  # keep highest-confidence
+            boxes, conf, mask = boxes[order], conf[order], mask[order]
+        else:
+            pad = n_max - n
+            boxes = np.vstack([boxes, np.zeros((pad, 4))])
+            conf = np.concatenate([conf, np.zeros(pad)])
+            mask = np.concatenate([mask, np.zeros(pad, bool)])
+    return boxes, conf, mask

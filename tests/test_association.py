@@ -85,3 +85,19 @@ def test_associate_under_vmap_batch():
     dmask = jnp.ones((4, 1), bool)
     _, matched, _ = jax.vmap(associate_detections)(tracks, tmask, dets, dmask)
     assert np.asarray(matched).all()
+
+
+def test_read_detections_txt_real_files(reference_root):
+    from cube_slam_wu_tpu.utils.io import read_detections_txt
+
+    base = reference_root / "object_slam/data/filter_2d_obj_txts"
+    boxes, conf, mask = read_detections_txt(base / "0000_yolo2_0.15.txt")
+    assert boxes.shape == (1, 4) and mask.all()
+    np.testing.assert_allclose(boxes[0], [175, 24, 175 + 385, 24 + 373])
+    assert conf[0] == pytest.approx(0.42)
+    # detector dropout: empty file
+    b2, c2, m2 = read_detections_txt(base / "0020_yolo2_0.15.txt", n_max=4)
+    assert b2.shape == (4, 4) and not m2.any()
+    # padding to fixed shape
+    b3, c3, m3 = read_detections_txt(base / "0000_yolo2_0.15.txt", n_max=3)
+    assert b3.shape == (3, 4) and m3.tolist() == [True, False, False]
