@@ -784,6 +784,10 @@ def detect_cuboid_single(
     skew = jnp.maximum(len_h, wid_h) / jnp.minimum(len_h, wid_h)
     skew_err = cfg.weight_skew_error * jnp.maximum(skew - cfg.nominal_skew_ratio, 0.0)
     skew_err = jnp.where(skew > cfg.max_cut_skew, 100.0, skew_err)
+    # NB: the weight really is applied twice — the reference multiplies
+    # weight_skew_error at box_proposal_detail.cpp:813 AND again at :820
+    # (its own comment flags it).  Kept for winner-level parity, which the
+    # ref-oracle fixture tests pin (tests/test_ref_oracle_parity.py).
     final = scores + cfg.weight_skew_error * skew_err
     if yaw_prior is not None:
         # temporal smoothness prior on the object yaw (the reference leaves

@@ -124,7 +124,13 @@ def test_engine_matches_oracle_on_demo(demo_inputs):
 
 
 def test_demo_fixture_regression(demo_inputs):
-    """Pinned winner for the bundled fixture (engine self-regression)."""
+    """Pinned winner for the bundled fixture.
+
+    The pinned values equal the output of the reference engine compiled
+    from source on this machine (tools/ref_oracle; tests/test_ref_oracle_
+    parity.py pins that directly).  The differing winner recorded in the
+    reference header comment (detect_3d_cuboid.h:43-56) is stale — see
+    docs/ORACLE_PARITY.md."""
     gray, K, T_wc, bbox, lines, mask = demo_inputs
     cfg = ProposalConfig(max_lines=lines.shape[0])
     res = detect_cuboid_single(
