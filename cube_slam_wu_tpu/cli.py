@@ -72,6 +72,67 @@ def cmd_online(args):
     _write_outputs(args.out, result, truth[:n])
 
 
+def cmd_kitti(args):
+    """Multi-object online SLAM over a KITTI-odometry-layout sequence
+    (BASELINE config 5).  Writes a KITTI-format trajectory (12-number rows),
+    a TUM-format one, per-object cuboids and, when ground truth is given, the
+    ATE/RPE numbers."""
+    import numpy as np
+
+    from cube_slam_wu_tpu.slam.pipeline import run_kitti_slam
+    from cube_slam_wu_tpu.utils import io as uio
+    from cube_slam_wu_tpu.utils import kitti as ukitti
+    from cube_slam_wu_tpu.utils.metrics import ate_rmse
+
+    if not pathlib.Path(args.seq).is_dir():
+        raise SystemExit(f"error: --seq {args.seq!r} is not a directory")
+    if not pathlib.Path(args.detections).is_dir():
+        raise SystemExit(
+            f"error: --detections {args.detections!r} is not a directory"
+        )
+    result = run_kitti_slam(
+        args.seq,
+        args.detections,
+        poses_path=args.poses,
+        n_frames=args.frames,
+        iterations=args.iterations,
+        max_objects=args.max_objects,
+        max_detections=args.max_detections,
+        window=args.window if args.window and args.window > 0 else None,
+    )
+    out_dir = pathlib.Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    uio.write_tum_trajectory(
+        out_dir / "output_cam_poses.txt", result.timestamps, result.traj_Twc_xyzq
+    )
+    # KITTI 12-number rows in the cam-forward first-camera world
+    from cube_slam_wu_tpu.core.se3 import SE3 as _SE3
+    import jax.numpy as jnp
+
+    Rinv = np.eye(4)
+    Rinv[:3, :3] = ukitti.KITTI_TO_ZUP.T
+    rows = []
+    for xyzq in result.traj_Twc_xyzq:
+        T = np.array(_SE3.from_xyzq(jnp.asarray(xyzq)).matrix())
+        T[2, 3] -= ukitti.CAMERA_HEIGHT_M
+        rows.append((Rinv @ T)[:3, :4].ravel())
+    np.savetxt(out_dir / "trajectory_kitti.txt", np.asarray(rows), fmt="%.9e")
+    np.savetxt(
+        out_dir / "output_obj_poses.txt",
+        result.cubes_minimal[np.asarray(result.cube_valid)],
+        fmt="%.6f",
+    )
+    if result.frontend_report is not None:
+        print("frontend:", result.frontend_report.summary())
+    if args.poses:
+        seq = ukitti.load_sequence(args.seq, args.poses)
+        n = len(result.timestamps)
+        truth_xyz = seq.poses_T_wc[:n, :3, 3]
+        ate = ate_rmse(result.traj_Twc_xyzq[:, :3], truth_xyz)
+        print(f"ATE RMSE vs ground truth: {ate:.4f} m")
+    print(f"outputs written to {out_dir}")
+
+
 def cmd_detect_lines(args):
     if not pathlib.Path(args.image).is_file():
         raise SystemExit(f"error: --image {args.image!r} not found")
@@ -199,6 +260,21 @@ def main(argv=None):
     pn.add_argument("--frames", type=int, default=None)
     pn.add_argument("--iterations", type=int, default=5)
     pn.set_defaults(fn=cmd_online)
+
+    pk = sub.add_parser(
+        "kitti", help="multi-object online SLAM over a KITTI-layout sequence"
+    )
+    pk.add_argument("--seq", required=True, help="sequence dir (image_0/, calib.txt)")
+    pk.add_argument("--detections", required=True, help="per-frame yolo txt dir")
+    pk.add_argument("--poses", default=None, help="KITTI ground-truth poses txt")
+    pk.add_argument("--out", default="out")
+    pk.add_argument("--frames", type=int, default=None)
+    pk.add_argument("--iterations", type=int, default=5)
+    pk.add_argument("--max-objects", type=int, default=8)
+    pk.add_argument("--max-detections", type=int, default=4)
+    pk.add_argument("--window", type=int, default=16,
+                    help="sliding BA window (0 = full-graph re-optimisation)")
+    pk.set_defaults(fn=cmd_kitti)
 
     pl = sub.add_parser("detect-lines", help="line detection on one image")
     pl.add_argument("--image", required=True)

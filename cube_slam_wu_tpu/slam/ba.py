@@ -77,6 +77,7 @@ def _residual_vector(
     dx: jnp.ndarray,
     fix_first: bool,
     robust_delta: float | None = None,
+    prior=None,
 ):
     cam, cube = _apply_increments(graph, dx, fix_first)
     odom_res, cube_res, bbox_res = graph_residuals(graph, cam, cube)
@@ -86,9 +87,14 @@ def _residual_vector(
         odom_res = _huber_scale(odom_res, robust_delta)
         cube_res = _huber_scale(cube_res, robust_delta)
         bbox_res = _huber_scale(bbox_res, robust_delta)
-    return jnp.concatenate(
-        [odom_res.reshape(-1), cube_res.reshape(-1), bbox_res.reshape(-1)]
-    )
+    parts = [odom_res.reshape(-1), cube_res.reshape(-1), bbox_res.reshape(-1)]
+    if prior is not None:
+        # sliding-window marginalisation prior on the cuboids (slam.window);
+        # never robust-scaled: it is already a Gaussian summary
+        from cube_slam_wu_tpu.slam.window import prior_residuals
+
+        parts.append(prior_residuals(prior, cube).reshape(-1))
+    return jnp.concatenate(parts)
 
 
 @functools.partial(
@@ -99,25 +105,30 @@ def optimize(
     iterations: int = 5,
     fix_first: bool = True,
     robust_delta: float | None = None,
+    prior=None,
 ) -> BAResult:
     """Run LM for `iterations` outer iterations (graph.optimize(k) analogue,
     main_obj.cpp:802-803) and return updated estimates.
 
     `robust_delta` enables a Huber kernel on every edge (norm cap in the
-    residual metric); None mirrors the reference's plain least squares."""
+    residual metric); None mirrors the reference's plain least squares.
+    `prior` (slam.window.CubePrior) adds the sliding-window marginalisation
+    prior on the cuboid landmarks."""
     F = graph.capacity
     dtype = graph.cam_Tcw.trans.dtype
     n = F * 6 + graph.n_objects * 9
 
     def chi2_of(g: CameraObjectGraph):
         zero = jnp.zeros((n,), dtype)
-        r = _residual_vector(g, zero, fix_first, robust_delta)
+        r = _residual_vector(g, zero, fix_first, robust_delta, prior)
         return jnp.sum(r * r)
 
     def linearize(g: CameraObjectGraph):
         zero = jnp.zeros((n,), dtype)
-        r0 = _residual_vector(g, zero, fix_first, robust_delta)
-        J = jax.jacfwd(lambda dx: _residual_vector(g, dx, fix_first, robust_delta))(zero)
+        r0 = _residual_vector(g, zero, fix_first, robust_delta, prior)
+        J = jax.jacfwd(
+            lambda dx: _residual_vector(g, dx, fix_first, robust_delta, prior)
+        )(zero)
         H = J.T @ J
         grad = J.T @ r0
         chi2 = jnp.sum(r0 * r0)

@@ -77,6 +77,203 @@ def build_offline_frames(data: OfflineData, dtype=None) -> tracker.FrameInput:
     )
 
 
+class FrontendReport(NamedTuple):
+    """Per-run accounting of skipped/failed frames (VERDICT 5.3: surface
+    pipeline-level failures instead of silently continuing)."""
+
+    n_frames: int
+    missing_image: list
+    missing_detections: list
+    empty_detections: list
+    no_valid_proposal: list
+    dropped_detections: int  # valid detections with no free object slot
+
+    def summary(self) -> str:
+        return (
+            f"frames={self.n_frames} missing_img={len(self.missing_image)} "
+            f"missing_det={len(self.missing_detections)} "
+            f"empty_det={len(self.empty_detections)} "
+            f"no_proposal={len(self.no_valid_proposal)} "
+            f"dropped_det={self.dropped_detections}"
+        )
+
+
+def run_online_frontend(
+    frame_specs,
+    K_np: np.ndarray,
+    first_Twc: SE3,
+    dtype,
+    detect_cfg=None,
+    proposal_overrides: dict | None = None,
+    max_objects: int = 1,
+    max_detections: int | None = None,
+    min_iou: float = 0.3,
+    use_yaw_prior: bool = False,
+):
+    """Multi-object online front-end: per frame, line detection -> batched
+    cuboid proposals for every 2D detection -> IoU tracklet association into
+    fixed object slots.  Returns (FrameInput with (N, O) axes, FrontendReport).
+
+    `frame_specs` is a list of (image_path, detections_path) per frame.
+    Mirrors the reference online branch (main_obj.cpp:585-679) but
+    generalised from its `frames_cuboids[0][0]` single-landmark shortcut
+    (main_obj.cpp:647) to O object slots via
+    ops.association.associate_detections; proposals for frames > 0 are
+    generated around the FIRST camera pose with roll/pitch sampling
+    (main_obj.cpp:624-628), so no tracker feedback enters the front-end.
+
+    `use_yaw_prior` threads each track's accepted yaw into the next frame's
+    hypothesis scoring (the reference's box_proposal_detail.cpp:178 TODO).
+    Off by default: on the bundled sequence it locks onto early yaw errors
+    and degrades ATE (0.186 -> 0.56 aligned).
+    """
+    from cube_slam_wu_tpu.core import rotations as rotu
+    from cube_slam_wu_tpu.ops.association import associate_detections
+    from cube_slam_wu_tpu.ops.detect import DetectConfig, detect_line_segments
+    from cube_slam_wu_tpu.ops.proposal import (
+        ProposalConfig,
+        detect_cuboid_single,
+        detect_cuboids,
+    )
+
+    detect_cfg = detect_cfg or DetectConfig()
+    over = dict(proposal_overrides or {})
+    over.setdefault("nominal_skew_ratio", 2.0)  # main_obj.cpp:499
+    n = len(frame_specs)
+    O = max_objects
+    D = max_detections or max(1, max_objects)
+
+    T0 = np.asarray(first_Twc.matrix())
+    roll0, pitch0, yaw0 = (
+        float(v) for v in rotu.rot_to_euler_zyx(jnp.asarray(T0[:3, :3]))
+    )
+    K = jnp.asarray(K_np, dtype)
+    T0_j = jnp.asarray(T0, dtype)
+
+    meas9 = np.zeros((n, O, 9))
+    quality = np.zeros((n, O))
+    has = np.zeros((n, O), bool)
+    track_bbox = np.zeros((O, 4))  # last associated detection, corner form
+    track_alive = np.zeros(O, bool)
+    track_yaw = np.full(O, np.nan)  # last accepted yaw per track (prior)
+    report = FrontendReport(n, [], [], [], [], 0)
+
+    for i, (img_path, det_path) in enumerate(frame_specs):
+        img_path = pathlib.Path(img_path)
+        det_path = pathlib.Path(det_path)
+        if not img_path.exists():
+            report.missing_image.append(i)
+            continue
+        if not det_path.exists():
+            report.missing_detections.append(i)
+            continue
+        boxes_c, conf, dmask = uio.read_detections_txt(det_path, n_max=D)
+        if not dmask.any():
+            report.empty_detections.append(i)
+            continue
+        gray = jnp.asarray(uio.load_image_gray(img_path), dtype)
+        lines, lmask = detect_line_segments(gray, detect_cfg)
+        cfg = ProposalConfig(
+            max_lines=int(lines.shape[0]),
+            sample_cam_roll_pitch=(i != 0),  # main_obj.cpp:624
+            **over,
+        )
+        # corners -> [x y w h] with the matlab -1 offset (main_obj.cpp:620)
+        xywh = np.column_stack(
+            [
+                boxes_c[:, 0] - 1.0,
+                boxes_c[:, 1] - 1.0,
+                boxes_c[:, 2] - boxes_c[:, 0],
+                boxes_c[:, 3] - boxes_c[:, 1],
+            ]
+        )
+        if O == 1 and D == 1 and use_yaw_prior:
+            # single-track path keeps the per-track yaw prior plumbing
+            prior = (
+                jnp.asarray(track_yaw[0], dtype)
+                if np.isfinite(track_yaw[0])
+                else None
+            )
+            res = detect_cuboid_single(
+                gray, K, T0_j, jnp.asarray(xywh[0], dtype), lines, lmask,
+                cfg, yaw_prior=prior,
+            )
+            res = jax.tree.map(lambda a: np.asarray(a)[None], res)
+        else:
+            res = detect_cuboids(
+                gray, K, T0_j, jnp.asarray(xywh, dtype), jnp.asarray(dmask),
+                lines, lmask, cfg,
+            )
+            res = jax.tree.map(np.asarray, res)
+        det_valid = res.valid & dmask
+        if not det_valid.any():
+            report.no_valid_proposal.append(i)
+            continue
+
+        det_of_track, matched, det_is_new = (
+            np.array(v)  # writable copies (np.asarray of a jax array is RO)
+            for v in associate_detections(
+                jnp.asarray(track_bbox),
+                jnp.asarray(track_alive),
+                jnp.asarray(boxes_c),
+                jnp.asarray(det_valid),
+                min_iou=min_iou,
+            )
+        )
+        # spawn new tracks into free slots (caller-side policy; the op only
+        # flags candidates)
+        for d in np.nonzero(det_is_new)[0]:
+            free = np.nonzero(~track_alive)[0]
+            if free.size == 0:
+                report = report._replace(
+                    dropped_detections=report.dropped_detections + 1
+                )
+                continue
+            o = int(free[0])
+            track_alive[o] = True
+            det_of_track[o] = d
+            matched[o] = True
+
+        for o in np.nonzero(matched)[0]:
+            d = int(det_of_track[o])
+            track_bbox[o] = boxes_c[d]
+            track_yaw[o] = float(res.rotY[d])
+            # ground-frame 9-DoF -> camera-frame measurement
+            # (main_obj.cpp:649-675)
+            cube_ground = Cuboid.from_minimal(
+                jnp.asarray(
+                    [
+                        *res.pos[d],
+                        0.0,
+                        0.0,
+                        float(res.rotY[d]),
+                        *res.scale[d],
+                    ],
+                    dtype,
+                )
+            )
+            roll_new = roll0 + float(res.camera_roll_delta[d])
+            pitch_new = pitch0 + float(res.camera_pitch_delta[d])
+            R_new = rotu.euler_zyx_to_rot(
+                jnp.asarray(roll_new, dtype),
+                jnp.asarray(pitch_new, dtype),
+                jnp.asarray(yaw0, dtype),
+            )
+            pose_used = SE3.from_rot_trans(R_new, jnp.asarray(T0[:3, 3], dtype))
+            local = cube_ground.transform_to(pose_used)
+            meas9[i, o] = np.asarray(local.to_minimal())
+            quality[i, o] = (1.0 - float(res.normalized_error[d]) + 0.5) / 2.0
+            has[i, o] = True
+
+    frames = tracker.FrameInput(
+        meas=Cuboid.from_minimal(jnp.asarray(meas9, dtype)),
+        quality=jnp.asarray(quality, dtype),
+        has_meas=jnp.asarray(has),
+        active=jnp.ones((n,), bool),
+    )
+    return frames, report
+
+
 def run_online_slam(
     base_folder,
     n_frames: int | None = None,
@@ -87,119 +284,142 @@ def run_online_slam(
     soft_gate_alpha: float | None = 2.0,
     refine_with_points: bool = False,
     use_yaw_prior: bool = False,
+    max_objects: int = 1,
+    max_detections: int | None = None,
+    min_iou: float = 0.3,
+    window: int | None = None,
 ):
     """Full online mono pipeline over the reference dataset layout: per-frame
-    line detection -> cuboid proposal -> measurement -> incremental BA
-    (mirrors main_obj.cpp online branch, :585-679).
-
-    The front-end runs for all frames up-front (reference semantics allow it:
-    proposals for frames > 0 are generated around the FIRST camera pose with
-    roll/pitch sampling, main_obj.cpp:624-628, so no tracker feedback enters
-    the front-end), then the incremental graph scan consumes the
-    measurements.
-
-    `use_yaw_prior` threads each frame's accepted yaw into the next frame's
-    hypothesis scoring (the reference's box_proposal_detail.cpp:178 TODO).
-    Off by default: on the bundled sequence it locks onto early yaw errors
-    and degrades ATE (0.186 -> 0.56 aligned); useful only with a stronger
-    per-frame detector.
-    """
-    from cube_slam_wu_tpu.core import rotations as rotu
-    from cube_slam_wu_tpu.ops.detect import DetectConfig, detect_line_segments
-    from cube_slam_wu_tpu.ops.proposal import ProposalConfig, detect_cuboid_single
-
+    line detection -> cuboid proposals (all detections) -> IoU association
+    into object slots -> incremental BA (mirrors main_obj.cpp online branch,
+    :585-679, generalised to `max_objects` landmarks)."""
     dtype = dtype or _default_dtype()
     base = pathlib.Path(base_folder)
     truth = uio.read_number_txt(base / "truth_cam_poses.txt")
     n = truth.shape[0] if n_frames is None else min(n_frames, truth.shape[0])
 
-    detect_cfg = detect_cfg or DetectConfig()
-    over = dict(proposal_overrides or {})
-    over.setdefault("nominal_skew_ratio", 2.0)  # main_obj.cpp:499
     K_np = np.array([[535.4, 0, 320.1], [0, 539.2, 247.6], [0, 0, 1.0]])
-
     first_Twc = SE3.from_xyzq(jnp.asarray(truth[0, 1:8], dtype))
-    T0 = np.asarray(first_Twc.matrix())
-    roll0, pitch0, yaw0 = (
-        float(v) for v in rotu.rot_to_euler_zyx(jnp.asarray(T0[:3, :3]))
-    )
 
-    meas9 = np.zeros((n, 9))
-    quality = np.zeros((n,))
-    has = np.zeros((n,), bool)
-
-    K = jnp.asarray(K_np, dtype)
-    T0_j = jnp.asarray(T0, dtype)
-    yaw_prior = None  # previous frame's accepted object yaw (temporal prior)
-
-    for i in range(n):
-        img_path = base / "raw_imgs" / f"{i:04d}_rgb_raw.jpg"
-        yolo_path = base / "filter_2d_obj_txts" / f"{i:04d}_yolo2_0.15.txt"
-        if not img_path.exists() or not yolo_path.exists():
-            continue
-        yolo = uio.read_number_txt(yolo_path)
-        if yolo.size == 0:
-            continue
-        gray = jnp.asarray(uio.load_image_gray(img_path), dtype)
-        lines, mask = detect_line_segments(gray, detect_cfg)
-        cfg = ProposalConfig(
-            max_lines=int(lines.shape[0]),
-            sample_cam_roll_pitch=(i != 0),  # main_obj.cpp:624
-            **over,
+    frame_specs = [
+        (
+            base / "raw_imgs" / f"{i:04d}_rgb_raw.jpg",
+            base / "filter_2d_obj_txts" / f"{i:04d}_yolo2_0.15.txt",
         )
-        bbox = jnp.asarray(
-            [yolo[0, 0] - 1.0, yolo[0, 1] - 1.0, yolo[0, 2], yolo[0, 3]], dtype
-        )
-        prior_arg = (
-            jnp.asarray(yaw_prior, dtype)
-            if (use_yaw_prior and yaw_prior is not None)
-            else None
-        )
-        res = detect_cuboid_single(
-            gray, K, T0_j, bbox, lines, mask, cfg, yaw_prior=prior_arg
-        )
-        res = jax.tree.map(np.asarray, res)
-        if not bool(res.valid):
-            continue
-        yaw_prior = float(res.rotY)
-        # ground-frame 9-DoF -> camera-frame measurement (main_obj.cpp:649-675)
-        cube_ground = Cuboid.from_minimal(
-            jnp.asarray(
-                [*res.pos, 0.0, 0.0, float(res.rotY), *res.scale], dtype
-            )
-        )
-        roll_new = roll0 + float(res.camera_roll_delta)
-        pitch_new = pitch0 + float(res.camera_pitch_delta)
-        R_new = rotu.euler_zyx_to_rot(
-            jnp.asarray(roll_new, dtype), jnp.asarray(pitch_new, dtype), jnp.asarray(yaw0, dtype)
-        )
-        pose_used = SE3.from_rot_trans(R_new, jnp.asarray(T0[:3, 3], dtype))
-        local = cube_ground.transform_to(pose_used)
-        meas9[i] = np.asarray(local.to_minimal())
-        quality[i] = (1.0 - float(res.normalized_error) + 0.5) / 2.0
-        has[i] = True
-
-    frames = tracker.FrameInput(
-        meas=Cuboid.from_minimal(jnp.asarray(meas9[:, None, :], dtype)),
-        quality=jnp.asarray(quality[:, None], dtype),
-        has_meas=jnp.asarray(has[:, None]),
-        active=jnp.ones((n,), bool),
+        for i in range(n)
+    ]
+    frames, report = run_online_frontend(
+        frame_specs,
+        K_np,
+        first_Twc,
+        dtype,
+        detect_cfg=detect_cfg,
+        proposal_overrides=proposal_overrides,
+        max_objects=max_objects,
+        max_detections=max_detections,
+        min_iou=min_iou,
+        use_yaw_prior=use_yaw_prior,
     )
     graph, chi2s, cube_hist = tracker.run_incremental(
-        first_Twc, frames, iterations=iterations, soft_gate_alpha=soft_gate_alpha
+        first_Twc,
+        frames,
+        iterations=iterations,
+        soft_gate_alpha=soft_gate_alpha,
+        window=window,
     )
 
     if refine_with_points:
-        graph = _point_refinement(graph, base, n, K, dtype)
+        graph = _point_refinement(graph, base, n, jnp.asarray(K_np, dtype), dtype)
 
     traj = np.asarray(graph.cam_Twc().to_xyzq())
-    cube = np.asarray(graph.cube.to_minimal())[0]
+    cubes = np.asarray(graph.cube.to_minimal())
     return SlamOutput(
         traj_Twc_xyzq=traj,
-        cube_minimal=cube,
+        cube_minimal=cubes[0],
         chi2=np.asarray(chi2s),
         timestamps=truth[:n, 0],
         cube_history=np.asarray(cube_hist),
+        cubes_minimal=cubes,
+        cube_valid=np.asarray(graph.cube_valid),
+        frontend_report=report,
+    )
+
+
+def run_kitti_slam(
+    seq_dir,
+    detections_dir,
+    poses_path=None,
+    n_frames: int | None = None,
+    iterations: int = 5,
+    dtype=None,
+    detect_cfg=None,
+    proposal_overrides: dict | None = None,
+    soft_gate_alpha: float | None = 2.0,
+    max_objects: int = 8,
+    max_detections: int = 4,
+    min_iou: float = 0.25,
+    window: int | None = None,
+):
+    """Multi-object online SLAM over a KITTI-odometry-layout sequence
+    (BASELINE config 5; the reference's capability class per its paper,
+    README.md:3-4 — the repo itself bundles no KITTI driver).
+
+    Detections come from per-frame txts (`x y w h prob`, the reference's
+    filter_2d_obj_txts contract); images from image_0/.  The first
+    ground-truth pose (or the nominal camera-height pose) anchors the
+    proposal engine's ground plane, exactly as the reference anchors TUM
+    runs to the first truth pose (main_obj.cpp:526,624-628)."""
+    from cube_slam_wu_tpu.utils import kitti as ukitti
+
+    dtype = dtype or _default_dtype()
+    seq = ukitti.load_sequence(seq_dir, poses_path)
+    n_avail = len(seq.image_paths)
+    n = n_avail if n_frames is None else min(n_frames, n_avail)
+    if n == 0:
+        raise ValueError(f"no images under {seq_dir}/image_0")
+
+    if seq.poses_T_wc is not None:
+        T0 = jnp.asarray(seq.poses_T_wc[0], dtype)
+        first_Twc = SE3.from_rot_trans(T0[:3, :3], T0[:3, 3])
+    else:
+        from cube_slam_wu_tpu.utils.synth import camera_pose
+
+        T0 = jnp.asarray(camera_pose(0.0), dtype)
+        first_Twc = SE3.from_rot_trans(T0[:3, :3], T0[:3, 3])
+
+    frame_specs = [
+        (seq.image_paths[i], ukitti.detection_txt_path(detections_dir, i))
+        for i in range(n)
+    ]
+    frames, report = run_online_frontend(
+        frame_specs,
+        seq.K,
+        first_Twc,
+        dtype,
+        detect_cfg=detect_cfg,
+        proposal_overrides=proposal_overrides,
+        max_objects=max_objects,
+        max_detections=max_detections,
+        min_iou=min_iou,
+    )
+    graph, chi2s, cube_hist = tracker.run_incremental(
+        first_Twc,
+        frames,
+        iterations=iterations,
+        soft_gate_alpha=soft_gate_alpha,
+        window=window,
+    )
+    traj = np.asarray(graph.cam_Twc().to_xyzq())
+    cubes = np.asarray(graph.cube.to_minimal())
+    return SlamOutput(
+        traj_Twc_xyzq=traj,
+        cube_minimal=cubes[0],
+        chi2=np.asarray(chi2s),
+        timestamps=seq.timestamps[:n],
+        cube_history=np.asarray(cube_hist),
+        cubes_minimal=cubes,
+        cube_valid=np.asarray(graph.cube_valid),
+        frontend_report=report,
     )
 
 
@@ -268,10 +488,13 @@ def _point_refinement(
 
 class SlamOutput(NamedTuple):
     traj_Twc_xyzq: np.ndarray  # (N, 7) x y z qx qy qz qw
-    cube_minimal: np.ndarray  # (9,) final cuboid [xyz rpy lwh]
+    cube_minimal: np.ndarray  # (9,) final cuboid [xyz rpy lwh] (object 0)
     chi2: np.ndarray  # (N,) per-frame final chi2
     timestamps: np.ndarray
     cube_history: np.ndarray | None = None  # (N, O, 9) per-frame optimized
+    cubes_minimal: np.ndarray | None = None  # (O, 9) all object landmarks
+    cube_valid: np.ndarray | None = None  # (O,) landmark initialised
+    frontend_report: "FrontendReport | None" = None
 
 
 def run_offline_slam(base_folder, iterations: int = 5, dtype=None) -> SlamOutput:

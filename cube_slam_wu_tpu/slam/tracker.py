@@ -43,16 +43,17 @@ def _set_cuboid(batch: Cuboid, i, value: Cuboid) -> Cuboid:
     return Cuboid(_set_se3(batch.pose, i, value.pose), batch.scale.at[i].set(value.scale))
 
 
-def make_incremental_step(
-    iterations: int = 5,
-    gate_threshold: float | None = None,
-    soft_gate_alpha: float | None = None,
-    soft_gate_power: float = 1.0,
-):
-    """Build the scan body: (graph, (index, FrameInput slice, first_pose)) -> graph.
-
-    `first_pose` is the fixed frame-0 camera-to-world pose (the reference
-    uses the first ground-truth pose, main_obj.cpp:526).
+def _insert_frame(
+    graph: CameraObjectGraph,
+    i,
+    frame: FrameInput,
+    first_Twc: SE3,
+    gate_threshold: float | None,
+    soft_gate_alpha: float | None,
+    soft_gate_power: float,
+) -> CameraObjectGraph:
+    """Constant-velocity pose init + measurement insertion + cuboid vertex
+    initialisation (shared by the full-graph and windowed steps).
 
     Innovation gating (beyond the reference, which feeds every detection into
     the graph unweighted): before inserting a camera-object edge, the 9-d
@@ -62,77 +63,93 @@ def make_incremental_step(
     `soft_gate_alpha` scales the measurement quality by
     1/(1 + alpha*innovation^power).  This is what keeps the online pipeline
     at trajectory parity despite noisier single-frame detections."""
+    O = graph.n_objects
+
+    # -- constant-velocity pose initialisation (main_obj.cpp:548-565) ----
+    prev = graph.cam_Tcw[jnp.maximum(i - 1, 0)]
+    prevprev = graph.cam_Tcw[jnp.maximum(i - 2, 0)]
+    odom_cv = prev.compose(prevprev.inverse())
+    ident = SE3.identity((), graph.cam_Tcw.trans.dtype)
+    use_cv = i > 1
+    odom_val = jax.tree.map(
+        lambda a, b: jnp.where(use_cv, a, b), odom_cv, ident
+    )
+    curr_Tcw_pred = odom_val.compose(prev)
+    first_Tcw = first_Twc.inverse()
+    curr_Tcw = jax.tree.map(
+        lambda a, b: jnp.where(i == 0, a, b), first_Tcw, curr_Tcw_pred
+    )
+
+    # -- innovation gating against the current cuboid estimates ----------
+    curr_Twc = curr_Tcw.inverse()
+    Twc_b = SE3(
+        jnp.broadcast_to(curr_Twc.quat, (O, 4)),
+        jnp.broadcast_to(curr_Twc.trans, (O, 3)),
+    )
+    pred_global = frame.meas.transform_from(Twc_b)  # (O,)
+    innovation = jnp.linalg.norm(
+        graph.cube.min_log_error(pred_global), axis=-1
+    )  # (O,)
+    can_gate = graph.cube_valid & (i > 0)
+    quality = frame.quality
+    has_meas = frame.has_meas
+    if soft_gate_alpha is not None:
+        quality = jnp.where(
+            can_gate,
+            quality / (1.0 + soft_gate_alpha * innovation**soft_gate_power),
+            quality,
+        )
+    if gate_threshold is not None:
+        has_meas = has_meas & jnp.where(
+            can_gate, innovation < gate_threshold, True
+        )
+
+    # -- write the new frame into the graph ------------------------------
+    g = graph._replace(
+        cam_Tcw=_set_se3(graph.cam_Tcw, i, curr_Tcw),
+        frame_mask=graph.frame_mask.at[i].set(frame.active),
+        odom=_set_se3(graph.odom, i, odom_val),
+        odom_mask=graph.odom_mask.at[i].set(frame.active & (i > 0)),
+        cube_meas=_set_cuboid(graph.cube_meas, i, frame.meas),
+        cube_meas_weight=graph.cube_meas_weight.at[i].set(2.0 * quality),
+        cube_meas_mask=graph.cube_meas_mask.at[i].set(frame.active & has_meas),
+    )
+
+    # -- cuboid vertex initialisation on first observation ---------------
+    # (generalises the reference's frame-0 init, main_obj.cpp:741-750)
+    init_cube = frame.meas.transform_from(Twc_b)  # (O,)
+    set_cube = (~g.cube_valid) & frame.active & frame.has_meas
+    return g._replace(
+        cube=jax.tree.map(
+            lambda a, b: jnp.where(
+                set_cube.reshape((O,) + (1,) * (a.ndim - 1)), a, b
+            ),
+            init_cube,
+            g.cube,
+        ),
+        cube_valid=g.cube_valid | set_cube,
+    )
+
+
+def make_incremental_step(
+    iterations: int = 5,
+    gate_threshold: float | None = None,
+    soft_gate_alpha: float | None = None,
+    soft_gate_power: float = 1.0,
+):
+    """Build the full-graph scan body:
+    (graph, (index, FrameInput slice, first_pose)) -> graph.
+
+    `first_pose` is the fixed frame-0 camera-to-world pose (the reference
+    uses the first ground-truth pose, main_obj.cpp:526)."""
 
     def step(carry, inp):
         graph: CameraObjectGraph = carry
         i, frame, first_Twc = inp
-        O = graph.n_objects
-
-        # -- constant-velocity pose initialisation (main_obj.cpp:548-565) ----
-        prev = graph.cam_Tcw[jnp.maximum(i - 1, 0)]
-        prevprev = graph.cam_Tcw[jnp.maximum(i - 2, 0)]
-        odom_cv = prev.compose(prevprev.inverse())
-        ident = SE3.identity((), graph.cam_Tcw.trans.dtype)
-        use_cv = i > 1
-        odom_val = jax.tree.map(
-            lambda a, b: jnp.where(use_cv, a, b), odom_cv, ident
+        g = _insert_frame(
+            graph, i, frame, first_Twc,
+            gate_threshold, soft_gate_alpha, soft_gate_power,
         )
-        curr_Tcw_pred = odom_val.compose(prev)
-        first_Tcw = first_Twc.inverse()
-        curr_Tcw = jax.tree.map(
-            lambda a, b: jnp.where(i == 0, a, b), first_Tcw, curr_Tcw_pred
-        )
-
-        # -- innovation gating against the current cuboid estimates ----------
-        curr_Twc = curr_Tcw.inverse()
-        Twc_b = SE3(
-            jnp.broadcast_to(curr_Twc.quat, (O, 4)),
-            jnp.broadcast_to(curr_Twc.trans, (O, 3)),
-        )
-        pred_global = frame.meas.transform_from(Twc_b)  # (O,)
-        innovation = jnp.linalg.norm(
-            graph.cube.min_log_error(pred_global), axis=-1
-        )  # (O,)
-        can_gate = graph.cube_valid & (i > 0)
-        quality = frame.quality
-        has_meas = frame.has_meas
-        if soft_gate_alpha is not None:
-            quality = jnp.where(
-                can_gate,
-                quality / (1.0 + soft_gate_alpha * innovation**soft_gate_power),
-                quality,
-            )
-        if gate_threshold is not None:
-            has_meas = has_meas & jnp.where(
-                can_gate, innovation < gate_threshold, True
-            )
-
-        # -- write the new frame into the graph ------------------------------
-        g = graph._replace(
-            cam_Tcw=_set_se3(graph.cam_Tcw, i, curr_Tcw),
-            frame_mask=graph.frame_mask.at[i].set(frame.active),
-            odom=_set_se3(graph.odom, i, odom_val),
-            odom_mask=graph.odom_mask.at[i].set(frame.active & (i > 0)),
-            cube_meas=_set_cuboid(graph.cube_meas, i, frame.meas),
-            cube_meas_weight=graph.cube_meas_weight.at[i].set(2.0 * quality),
-            cube_meas_mask=graph.cube_meas_mask.at[i].set(frame.active & has_meas),
-        )
-
-        # -- cuboid vertex initialisation on first observation ---------------
-        # (generalises the reference's frame-0 init, main_obj.cpp:741-750)
-        init_cube = frame.meas.transform_from(Twc_b)  # (O,)
-        set_cube = (~g.cube_valid) & frame.active & frame.has_meas
-        g = g._replace(
-            cube=jax.tree.map(
-                lambda a, b: jnp.where(
-                    set_cube.reshape((O,) + (1,) * (a.ndim - 1)), a, b
-                ),
-                init_cube,
-                g.cube,
-            ),
-            cube_valid=g.cube_valid | set_cube,
-        )
-
         # -- full-graph re-optimisation (main_obj.cpp:802-803) ---------------
         result = ba.optimize(g, iterations=iterations, fix_first=True)
         g = g._replace(cam_Tcw=result.cam_Tcw, cube=result.cube)
@@ -145,6 +162,63 @@ def make_incremental_step(
     return step
 
 
+def make_windowed_step(
+    window: int,
+    iterations: int = 5,
+    gate_threshold: float | None = None,
+    soft_gate_alpha: float | None = None,
+    soft_gate_power: float = 1.0,
+):
+    """Fixed-lag scan body: optimise only the trailing `window` frames; on
+    frame departure absorb its cuboid edges into the Gaussian prior
+    (slam.window).  Per-frame cost is O(window^2 .. ^3) independent of the
+    sequence length, unlike the reference's whole-graph re-optimisation
+    (main_obj.cpp:802-803)."""
+    from cube_slam_wu_tpu.slam import window as win_mod
+
+    W = window
+
+    def step(carry, inp):
+        graph, prior = carry
+        i, frame, first_Twc = inp
+        g = _insert_frame(
+            graph, i, frame, first_Twc,
+            gate_threshold, soft_gate_alpha, soft_gate_power,
+        )
+
+        # -- absorb the departing frame (index i - W) into the prior ---------
+        d = jnp.maximum(i - W, 0)
+        departing = i >= W
+        Twc_d = g.cam_Tcw[d].inverse()
+        meas_d = jax.tree.map(lambda a: a[d], g.cube_meas)
+        prior_new = win_mod.absorb_frame(
+            prior,
+            Twc_d,
+            meas_d,
+            g.cube_meas_weight[d],
+            g.cube_meas_mask[d] & departing,
+            g.cube,
+        )
+
+        # -- optimise the trailing window ------------------------------------
+        s = jnp.clip(i - W + 1, 0, g.capacity - W)
+        win = win_mod.window_slice(g, s, W)
+        result = ba.optimize(
+            win, iterations=iterations, fix_first=True, prior=prior_new
+        )
+        g = win_mod.window_scatter(g, result.cam_Tcw, s)
+        g = g._replace(cube=result.cube)
+
+        # skip everything for padded slots
+        g = jax.tree.map(lambda a, b: jnp.where(frame.active, a, b), g, graph)
+        prior_new = jax.tree.map(
+            lambda a, b: jnp.where(frame.active, a, b), prior_new, prior
+        )
+        return (g, prior_new), (result.chi2, g.cube.to_minimal())
+
+    return step
+
+
 def run_incremental(
     first_Twc: SE3,
     frames: FrameInput,
@@ -153,6 +227,7 @@ def run_incremental(
     gate_threshold: float | None = None,
     soft_gate_alpha: float | None = None,
     soft_gate_power: float = 1.0,
+    window: int | None = None,
 ):
     """Run incremental SLAM over all frames.
 
@@ -160,21 +235,38 @@ def run_incremental(
     per-frame optimized landmark snapshots mirror the reference's
     cube_pose_opti_history (main_obj.cpp:815-819).
 
+    `window=None` re-optimises the full graph every frame (the reference's
+    schedule, main_obj.cpp:802-803); `window=W` runs the fixed-lag smoother
+    (slam.window) with O(W)-bounded per-frame cost.  A window >= the
+    sequence length is exactly the full-graph path (no frame ever departs).
+
     frames fields have leading axes (N, O) (padded allowed via `active`)."""
     n, n_obj = frames.quality.shape
     capacity = capacity or n
     dtype = frames.meas.scale.dtype
     graph = CameraObjectGraph.empty(capacity, n_obj, dtype)
-    step = make_incremental_step(
-        iterations, gate_threshold, soft_gate_alpha, soft_gate_power
-    )
 
     idxs = jnp.arange(n)
     first_b = SE3(
         jnp.broadcast_to(first_Twc.quat, (n, 4)),
         jnp.broadcast_to(first_Twc.trans, (n, 3)),
     )
-    graph, (chi2s, cube_history) = jax.lax.scan(
-        step, graph, (idxs, frames, first_b)
+    if window is None or window >= capacity:
+        step = make_incremental_step(
+            iterations, gate_threshold, soft_gate_alpha, soft_gate_power
+        )
+        graph, (chi2s, cube_history) = jax.lax.scan(
+            step, graph, (idxs, frames, first_b)
+        )
+        return graph, chi2s, cube_history
+
+    from cube_slam_wu_tpu.slam.window import CubePrior
+
+    step = make_windowed_step(
+        window, iterations, gate_threshold, soft_gate_alpha, soft_gate_power
+    )
+    prior = CubePrior.empty(n_obj, dtype)
+    (graph, _), (chi2s, cube_history) = jax.lax.scan(
+        step, (graph, prior), (idxs, frames, first_b)
     )
     return graph, chi2s, cube_history

@@ -37,3 +37,28 @@ def reference_root() -> pathlib.Path:
     if not REFERENCE_ROOT.exists():
         pytest.skip("reference dataset not mounted at /root/reference")
     return REFERENCE_ROOT
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="also run tests marked slow (e2e SLAM runs, heavy BA suites)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running test (skipped by default; enable with --runslow)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow test: pass --runslow to include")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

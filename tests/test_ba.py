@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cube_slam_wu_tpu.core.cuboid import Cuboid
 from cube_slam_wu_tpu.core.se3 import SE3
@@ -64,6 +65,7 @@ def _make_synthetic(F=8, n_active=6, noise=0.05, seed=0):
     return graph, true_Tcw, cube_true
 
 
+@pytest.mark.slow
 def test_lm_converges_to_truth():
     graph, true_Tcw, cube_true = _make_synthetic()
     chi2_init = float(graph_chi2(graph, graph.cam_Tcw, graph.cube))
@@ -101,6 +103,7 @@ def test_chi2_monotone_overall():
     assert float(res.chi2) < c0 * 0.01
 
 
+@pytest.mark.slow
 def test_noisy_measurements_still_converge():
     """With noisy odometry, LM should still reduce chi2 and stay finite."""
     graph, true_Tcw, _ = _make_synthetic(noise=0.1, seed=5)
@@ -113,6 +116,7 @@ def test_noisy_measurements_still_converge():
     assert float(res.chi2) < c0
 
 
+@pytest.mark.slow
 def test_huber_tames_outlier_measurement():
     """A corrupted cuboid measurement drags plain LM; the Huber kernel caps
     its influence (g2o robust-kernel capability, shipped unused by the

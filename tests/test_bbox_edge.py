@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cube_slam_wu_tpu.core.cuboid import Cuboid
 from cube_slam_wu_tpu.slam import ba
@@ -48,6 +49,7 @@ def test_bbox_residual_zero_at_truth():
     np.testing.assert_allclose(np.asarray(bbox_res), 0.0, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_bbox_edges_reduce_chi2():
     graph, _, _ = _with_bbox_edges(noise=0.08, seed=2)
     c0 = float(graph_chi2(graph, graph.cam_Tcw, graph.cube))

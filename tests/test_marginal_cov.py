@@ -9,6 +9,7 @@ analogue, Thirdparty/g2o g2o/core/sparse_optimizer.h).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cube_slam_wu_tpu.core.cuboid import Cuboid
 from cube_slam_wu_tpu.core.se3 import SE3
@@ -64,6 +65,7 @@ def _make_graph(F, noise9, weight):
     return g, cube_true
 
 
+@pytest.mark.slow
 def test_blocks_symmetric_psd_and_gauge_zero():
     F = 4
     g, _ = _make_graph(F, np.zeros((F, 9)), weight=2.0)
@@ -89,6 +91,7 @@ def test_covariance_shrinks_with_information():
     assert tr_hi < tr_lo / 4  # 9x information -> ~9x smaller covariance
 
 
+@pytest.mark.slow
 def test_monte_carlo_matches_predicted_covariance():
     F, T = 4, 256
     sigma = 0.02

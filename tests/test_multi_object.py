@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cube_slam_wu_tpu.core.cuboid import Cuboid
 from cube_slam_wu_tpu.core.se3 import SE3
@@ -64,6 +65,7 @@ def _multi_synthetic(F=8, O=3, noise=0.05, seed=0):
     return graph, true_Tcw, cubes_true, meas
 
 
+@pytest.mark.slow
 def test_multi_object_ba_converges():
     graph, true_Tcw, cubes_true, _ = _multi_synthetic()
     res = ba.optimize(graph, iterations=10)
@@ -74,6 +76,7 @@ def test_multi_object_ba_converges():
     assert cube_err < 1e-5
 
 
+@pytest.mark.slow
 def test_partial_object_observations():
     """Objects observed in disjoint frame subsets still converge."""
     graph, true_Tcw, cubes_true, _ = _multi_synthetic(F=8, O=2, seed=3)
@@ -86,6 +89,7 @@ def test_partial_object_observations():
     assert cube_err < 1e-4, cube_err
 
 
+@pytest.mark.slow
 def test_incremental_multi_object_init():
     """The tracker initialises each object's vertex at its FIRST observation
     (generalised main_obj.cpp:741-750).

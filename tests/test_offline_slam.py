@@ -13,6 +13,8 @@ from cube_slam_wu_tpu.slam.pipeline import run_offline_slam
 from cube_slam_wu_tpu.utils import io as uio
 from cube_slam_wu_tpu.utils.metrics import ate_rmse
 
+pytestmark = pytest.mark.slow
+
 BASE = "/root/reference/object_slam/data/"
 
 

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cube_slam_wu_tpu.core.se3 import SE3
 from cube_slam_wu_tpu.slam import point_ba
@@ -43,6 +44,7 @@ def _synthetic_sfm(F=6, P=40, noise=0.05, seed=0):
     return graph, factors, true_Tcw, pts_true, cube_true
 
 
+@pytest.mark.slow
 def test_point_ba_converges_to_truth():
     graph, factors, true_Tcw, pts_true, cube_true = _synthetic_sfm()
     res = point_ba.optimize(graph, factors, K, iterations=12)
@@ -57,6 +59,7 @@ def test_point_ba_converges_to_truth():
     assert np.abs(cube_err).max() < 1e-4
 
 
+@pytest.mark.slow
 def test_point_ba_masked_points_fixed():
     graph, factors, _, _, _ = _synthetic_sfm(seed=2)
     frozen = factors._replace(
@@ -67,6 +70,7 @@ def test_point_ba_masked_points_fixed():
     np.testing.assert_allclose(np.asarray(res.points[:10]), before, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_point_ba_beats_pointless_ba():
     """Adding point observations should reduce pose error vs cuboid-only BA
     when odometry is noisy."""
@@ -112,6 +116,7 @@ def test_triangulation_rejects_single_view():
     assert not np.asarray(ok).any()
 
 
+@pytest.mark.slow
 def test_stereo_projection_edges():
     """Stereo observations (u, v, u_right) constrain depth directly
     (EdgeStereoSE3ProjectXYZ coverage): with a single camera frame, mono

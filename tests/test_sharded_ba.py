@@ -9,7 +9,10 @@ from cube_slam_wu_tpu.slam import ba
 from test_ba import _make_synthetic
 
 
-@pytest.mark.parametrize("n_devices", [2, 4, 8])
+@pytest.mark.parametrize(
+    "n_devices",
+    [2, pytest.param(4, marks=pytest.mark.slow), pytest.param(8, marks=pytest.mark.slow)],
+)
 def test_sharded_matches_single_chip(n_devices):
     if len(jax.devices()) < n_devices:
         pytest.skip("not enough virtual devices")
@@ -32,6 +35,7 @@ def test_sharded_matches_single_chip(n_devices):
     )
 
 
+@pytest.mark.slow
 def test_sharded_converges():
     mesh = sharded_ba.make_mesh(4)
     graph, true_Tcw, _ = _make_synthetic(F=8, n_active=8, noise=0.05, seed=0)
