@@ -109,6 +109,7 @@ def run_online_frontend(
     max_detections: int | None = None,
     min_iou: float = 0.3,
     use_yaw_prior: bool = False,
+    canonicalize_yaw: bool = True,
 ):
     """Multi-object online front-end: per frame, line detection -> batched
     cuboid proposals for every 2D detection -> IoU tracklet association into
@@ -139,6 +140,17 @@ def run_online_frontend(
     detect_cfg = detect_cfg or DetectConfig()
     over = dict(proposal_overrides or {})
     over.setdefault("nominal_skew_ratio", 2.0)  # main_obj.cpp:499
+    # f32-stable winner selection (see ProposalConfig.rank_margin): the
+    # online path runs f32 on TPU, where plain argmin flips near-ties.
+    # Swept {0, 3e-4, 1e-3, 2e-3} x {f32, f64} on the full 58-frame run:
+    # every setting is dtype-stable to <=0.05% ATE once lines/merge are
+    # dtype-pinned and the chamfer sampling is bilinear; 2e-3 is the best
+    # ATE (0.2413, bit-equal across dtypes) while 5e-3 already biases the
+    # ranking toward low grid indices (0.24 -> 0.28 ATE in ablation).
+    over.setdefault("rank_margin", 2e-3)
+    # smooth chamfer sampling (see ProposalConfig.bilinear_dist): kills the
+    # pixel-boundary score jumps that dominate the residual f32 noise
+    over.setdefault("bilinear_dist", True)
     n = len(frame_specs)
     O = max_objects
     D = max_detections or max(1, max_objects)
@@ -172,7 +184,16 @@ def run_online_frontend(
             report.empty_detections.append(i)
             continue
         gray = jnp.asarray(uio.load_image_gray(img_path), dtype)
-        lines, lmask = detect_line_segments(gray, detect_cfg)
+        # line detection ALWAYS runs in f32: its vote accumulation / peak
+        # ordering is dtype-sensitive (f64 vs f32 flip 1-2 borderline
+        # segments), and a different line set shifts VP-support angle scores
+        # by ~0.05 — far beyond any ranking margin.  Detecting in one fixed
+        # dtype makes the f64 and f32(TPU) pipelines see identical lines, so
+        # the remaining winner noise is ~1e-5 and rank_margin absorbs it.
+        lines32, lmask = detect_line_segments(
+            gray.astype(jnp.float32), detect_cfg
+        )
+        lines = lines32.astype(dtype)
         cfg = ProposalConfig(
             max_lines=int(lines.shape[0]),
             sample_cam_roll_pitch=(i != 0),  # main_obj.cpp:624
@@ -238,6 +259,25 @@ def run_online_frontend(
             d = int(det_of_track[o])
             track_bbox[o] = boxes_c[d]
             track_yaw[o] = float(res.rotY[d])
+            # canonicalize the front face: rotate yaw by the multiple of 90
+            # deg that brings it nearest the facing-the-camera init
+            # (camera_yaw - 90, box_proposal_detail.cpp:180), swapping l/w on
+            # odd multiples.  Equivalent for every downstream consumer (the
+            # cuboid edge disambiguates with min_log_error, g2o_Object.h:
+            # 76-101) but makes the measurement invariant to which of the 4
+            # equivalent front-face labelings the f32/f64 grids pick.
+            yaw_init = yaw0 - np.pi / 2
+            k = (
+                int(np.round((float(res.rotY[d]) - yaw_init) / (np.pi / 2)))
+                if canonicalize_yaw
+                else 0
+            )
+            yaw_c = float(res.rotY[d]) - k * (np.pi / 2)
+            sl, sw = (
+                (float(res.scale[d][1]), float(res.scale[d][0]))
+                if k % 2
+                else (float(res.scale[d][0]), float(res.scale[d][1]))
+            )
             # ground-frame 9-DoF -> camera-frame measurement
             # (main_obj.cpp:649-675)
             cube_ground = Cuboid.from_minimal(
@@ -246,8 +286,10 @@ def run_online_frontend(
                         *res.pos[d],
                         0.0,
                         0.0,
-                        float(res.rotY[d]),
-                        *res.scale[d],
+                        yaw_c,
+                        sl,
+                        sw,
+                        float(res.scale[d][2]),
                     ],
                     dtype,
                 )
