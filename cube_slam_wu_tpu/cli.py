@@ -47,6 +47,46 @@ def _write_outputs(out_dir, result, truth):
     print(f"outputs written to {out_dir}")
 
 
+def _write_point_cloud(out_dir, base, result, every: int):
+    """Merged colored point cloud from the dataset's RGB-D pairs at the
+    OPTIMIZED camera poses (rviz cloud topic analogue, main_obj.cpp:73-101;
+    depth scaling + calib at main_obj.cpp:340-345)."""
+    from cube_slam_wu_tpu.core.se3 import SE3
+    from cube_slam_wu_tpu.utils import io as uio
+    from cube_slam_wu_tpu.utils import viz
+
+    import jax.numpy as jnp
+
+    base = pathlib.Path(base)
+    K = np.array([[535.4, 0, 320.1], [0, 539.2, 247.6], [0, 0, 1.0]])
+    all_xyz, all_rgb = [], []
+    n = len(result.timestamps)
+    for i in range(0, n, every):
+        depth_path = base / "depth_imgs" / f"{i:04d}_depth_raw.png"
+        rgb_path = base / "raw_imgs" / f"{i:04d}_rgb_raw.jpg"
+        if not depth_path.exists() or not rgb_path.exists():
+            continue
+        from PIL import Image
+
+        depth = np.asarray(Image.open(depth_path))
+        rgb = uio.load_image_rgb(rgb_path)
+        T_wc = np.asarray(
+            SE3.from_xyzq(jnp.asarray(result.traj_Twc_xyzq[i])).matrix()
+        )
+        xyz, cols = viz.depth_to_point_cloud(rgb, depth, K, T_wc)
+        all_xyz.append(xyz)
+        all_rgb.append(cols)
+    if not all_xyz:
+        print("point cloud skipped: no depth_imgs/ found")
+        return
+    viz.write_ply(
+        pathlib.Path(out_dir) / "map_cloud.ply",
+        np.concatenate(all_xyz),
+        np.concatenate(all_rgb),
+    )
+    print(f"point cloud ({sum(len(a) for a in all_xyz)} pts) -> {out_dir}/map_cloud.ply")
+
+
 def cmd_offline(args):
     from cube_slam_wu_tpu.slam.pipeline import run_offline_slam
     from cube_slam_wu_tpu.utils import io as uio
@@ -56,6 +96,8 @@ def cmd_offline(args):
     result = run_offline_slam(args.base, iterations=args.iterations)
     truth = uio.read_number_txt(pathlib.Path(args.base) / "truth_cam_poses.txt")
     _write_outputs(args.out, result, truth)
+    if args.save_cloud:
+        _write_point_cloud(args.out, args.base, result, args.save_cloud)
 
 
 def cmd_online(args):
@@ -70,6 +112,8 @@ def cmd_online(args):
     truth = uio.read_number_txt(pathlib.Path(args.base) / "truth_cam_poses.txt")
     n = len(result.timestamps)
     _write_outputs(args.out, result, truth[:n])
+    if args.save_cloud:
+        _write_point_cloud(args.out, args.base, result, args.save_cloud)
 
 
 def cmd_kitti(args):
@@ -252,6 +296,13 @@ def main(argv=None):
     po.add_argument("--base", required=True)
     po.add_argument("--out", default="out")
     po.add_argument("--iterations", type=int, default=5)
+    po.add_argument(
+        "--save-cloud",
+        type=int,
+        default=0,
+        metavar="N",
+        help="dump map_cloud.ply from every Nth RGB-D pair (0 = off)",
+    )
     po.set_defaults(fn=cmd_offline)
 
     pn = sub.add_parser("online", help="full online mono SLAM")
@@ -259,6 +310,13 @@ def main(argv=None):
     pn.add_argument("--out", default="out")
     pn.add_argument("--frames", type=int, default=None)
     pn.add_argument("--iterations", type=int, default=5)
+    pn.add_argument(
+        "--save-cloud",
+        type=int,
+        default=0,
+        metavar="N",
+        help="dump map_cloud.ply from every Nth RGB-D pair (0 = off)",
+    )
     pn.set_defaults(fn=cmd_online)
 
     pk = sub.add_parser(

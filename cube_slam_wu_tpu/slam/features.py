@@ -128,25 +128,62 @@ def track_corners(
     return jnp.stack([new_x, new_y], axis=-1), tracked, best_zncc
 
 
-def build_point_tracks(grays, max_corners: int = 192, **track_kwargs):
-    """Track Harris corners detected in frame 0 through a frame list.
+def build_point_tracks(
+    grays,
+    max_corners: int = 192,
+    capacity: int | None = None,
+    redetect_min_alive: int | None = None,
+    redetect_spacing: float = 8.0,
+    **track_kwargs,
+):
+    """Track Harris corners through a frame list, re-detecting as tracks die.
 
-    grays: list/array of (H, W) images.  Returns (obs_uv (F, K, 2),
-    obs_mask (F, K)) — a track dies permanently when ZNCC tracking fails
-    (no re-detection; good enough for the short sequences we bundle)."""
+    grays: list/array of (H, W) images.  Returns (obs_uv (F, C, 2),
+    obs_mask (F, C)) with C = `capacity` (default 2*max_corners).  When the
+    live count drops below `redetect_min_alive` (default max_corners//2),
+    new corners are detected in the current frame and appended into UNUSED
+    slots (never reviving a dead slot, so each slot remains one physical
+    landmark for triangulation); corners within `redetect_spacing` px of a
+    live track are skipped.  Set redetect_min_alive=0 to disable
+    (the round-1 die-permanently behaviour)."""
     import numpy as np
 
-    g0 = grays[0]
-    pts, mask = harris_corners(g0, max_corners=max_corners)
+    capacity = capacity or 2 * max_corners
+    if redetect_min_alive is None:
+        redetect_min_alive = max_corners // 2
+
     F = len(grays)
-    obs_uv = np.zeros((F, max_corners, 2))
-    obs_mask = np.zeros((F, max_corners), bool)
-    obs_uv[0] = np.asarray(pts)
-    obs_mask[0] = np.asarray(mask)
-    cur = pts
-    alive = mask
+    obs_uv = np.zeros((F, capacity, 2))
+    obs_mask = np.zeros((F, capacity), bool)
+
+    pts0, mask0 = harris_corners(grays[0], max_corners=max_corners)
+    pts0, mask0 = np.asarray(pts0), np.asarray(mask0)
+    n0 = min(int(mask0.sum()), capacity)
+    cur = np.zeros((capacity, 2))
+    alive = np.zeros(capacity, bool)
+    cur[:n0] = pts0[mask0][:n0]
+    alive[:n0] = True
+    next_free = n0
+    obs_uv[0], obs_mask[0] = cur.copy(), alive.copy()
+
     for f in range(1, F):
-        cur, alive, _ = track_corners(grays[f - 1], grays[f], cur, alive, **track_kwargs)
-        obs_uv[f] = np.asarray(cur)
-        obs_mask[f] = np.asarray(alive)
+        cur_j, alive_j, _ = track_corners(
+            grays[f - 1], grays[f], jnp.asarray(cur), jnp.asarray(alive), **track_kwargs
+        )
+        cur, alive = np.array(cur_j), np.array(alive_j)  # writable copies
+        if alive.sum() < redetect_min_alive and next_free < capacity:
+            fresh, fmask = harris_corners(grays[f], max_corners=max_corners)
+            fresh, fmask = np.asarray(fresh), np.asarray(fmask)
+            cand = fresh[fmask]
+            if alive.any() and len(cand):
+                d = np.linalg.norm(
+                    cand[:, None, :] - cur[None, alive, :], axis=-1
+                ).min(axis=1)
+                cand = cand[d > redetect_spacing]
+            take = min(len(cand), capacity - next_free)
+            if take:
+                cur[next_free : next_free + take] = cand[:take]
+                alive[next_free : next_free + take] = True
+                next_free += take
+        obs_uv[f], obs_mask[f] = cur.copy(), alive.copy()
     return obs_uv, obs_mask

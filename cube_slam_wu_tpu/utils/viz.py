@@ -98,3 +98,62 @@ def trajectory_top_view(
         for a, b in zip(px[:-1], px[1:]):
             draw_line(img, a, b, color, 2)
     return img
+
+
+def depth_to_point_cloud(
+    rgb: np.ndarray,
+    depth_u16: np.ndarray,
+    K: np.ndarray,
+    T_wc: np.ndarray,
+    depth_scaling: float = 5000.0,
+    near: float = 0.1,
+    far: float = 3.0,
+    voxel: float | None = 0.02,
+):
+    """Colored world-frame point cloud from an RGB-D pair
+    (depth_to_cloud, object_slam/src/main_obj.cpp:73-101).
+
+    `depth_u16` is the TUM 16-bit depth png (metres = value/depth_scaling,
+    main_obj.cpp:341); points outside (near, far) are dropped; `voxel`
+    applies the reference's 0.02 m approximate voxel-grid downsample
+    (snap-to-voxel + per-voxel mean).  Returns (xyz (N,3), rgb (N,3) uint8).
+    """
+    depth = np.asarray(depth_u16, dtype=np.float64) / depth_scaling
+    H, W = depth.shape
+    ys, xs = np.mgrid[0:H, 0:W]
+    ok = (depth > near) & (depth < far)
+    z = depth[ok]
+    x = (xs[ok] - K[0, 2]) / K[0, 0] * z
+    y = (ys[ok] - K[1, 2]) / K[1, 1] * z
+    pts_c = np.stack([x, y, z], axis=-1)
+    xyz = pts_c @ np.asarray(T_wc)[:3, :3].T + np.asarray(T_wc)[:3, 3]
+    cols = np.asarray(rgb)[ok].astype(np.float64)
+    if voxel:
+        key = np.floor(xyz / voxel).astype(np.int64)
+        _, inv, counts = np.unique(
+            key, axis=0, return_inverse=True, return_counts=True
+        )
+        n_vox = len(counts)
+        acc_xyz = np.zeros((n_vox, 3))
+        acc_rgb = np.zeros((n_vox, 3))
+        np.add.at(acc_xyz, inv, xyz)
+        np.add.at(acc_rgb, inv, cols)
+        xyz = acc_xyz / counts[:, None]
+        cols = acc_rgb / counts[:, None]
+    return xyz, np.clip(np.round(cols), 0, 255).astype(np.uint8)
+
+
+def write_ply(path, xyz: np.ndarray, rgb: np.ndarray) -> None:
+    """ASCII PLY dump of a colored point cloud (offline stand-in for the
+    reference's rviz PointCloud2 topic, main_obj.cpp:205-222)."""
+    n = len(xyz)
+    with open(path, "w") as f:
+        f.write(
+            "ply\nformat ascii 1.0\n"
+            f"element vertex {n}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            "end_header\n"
+        )
+        for p, c in zip(xyz, rgb):
+            f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} {c[0]} {c[1]} {c[2]}\n")

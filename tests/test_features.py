@@ -65,3 +65,44 @@ def test_tracks_on_real_frames(reference_root):
     alive = obs_mask.all(axis=0)
     disp = np.linalg.norm(obs_uv[3][alive] - obs_uv[0][alive], axis=1)
     assert np.median(disp) < 60
+
+
+def test_redetection_replenishes_dead_tracks():
+    """When tracking losses drop the live count below the re-detect
+    threshold, new corners fill UNUSED slots (a slot is never re-used for a
+    different physical landmark)."""
+    rng = np.random.default_rng(7)
+    big = np.kron(rng.uniform(20, 230, size=(24, 30)), np.ones((8, 8)))
+    noise = rng.uniform(0, 255, (120, 160))
+    frames = [
+        jnp.asarray(big[8:128, 8:168]),
+        jnp.asarray(big[8:128, 8:168]),
+        # hard content change: iid noise kills ZNCC tracks
+        jnp.asarray(noise),
+        jnp.asarray(noise),
+    ]
+    obs_uv, obs_mask = features.build_point_tracks(
+        frames, max_corners=64, redetect_min_alive=32
+    )
+    C = obs_mask.shape[1]
+    assert C == 128  # default capacity = 2 * max_corners
+    n0 = obs_mask[0].sum()
+    assert n0 >= 30
+    # frame 2 killed tracking -> re-detection kicked in on fresh slots
+    revived = obs_mask[2] & ~obs_mask[0]
+    assert revived.sum() >= 10, obs_mask.sum(axis=1)
+    # no dead slot is ever revived: once false after being true, stays false
+    was_true = np.maximum.accumulate(obs_mask, axis=0)
+    went_dead = was_true & ~obs_mask
+    resurrect = went_dead[:-1] & obs_mask[1:]
+    assert not resurrect.any()
+
+
+def test_redetection_disabled_matches_round1_behaviour():
+    rng = np.random.default_rng(3)
+    big = np.kron(rng.uniform(20, 230, size=(20, 24)), np.ones((8, 8)))
+    frames = [jnp.asarray(big[8:128, 8:168]) for _ in range(3)]
+    obs_uv, obs_mask = features.build_point_tracks(
+        frames, max_corners=32, redetect_min_alive=0, capacity=32
+    )
+    assert obs_mask.shape[1] == 32

@@ -53,3 +53,34 @@ def test_top_view_degenerate_single_point():
     top = viz.trajectory_top_view(est)
     assert top.shape == (512, 512, 3)
     assert np.isfinite(top).all()
+
+
+def test_depth_point_cloud_roundtrip(tmp_path, reference_root):
+    """Depth->cloud on a real RGB-D pair: unprojection geometry + voxel
+    downsample + PLY dump (depth_to_cloud, main_obj.cpp:73-101)."""
+    from PIL import Image
+
+    base = reference_root / "object_slam/data"
+    depth = np.asarray(Image.open(base / "depth_imgs/0000_depth_raw.png"))
+    rgb = np.asarray(Image.open(base / "raw_imgs/0000_rgb_raw.jpg").convert("RGB"))
+    K = np.array([[535.4, 0, 320.1], [0, 539.2, 247.6], [0, 0, 1.0]])
+    T = np.eye(4)
+    xyz, cols = viz.depth_to_point_cloud(rgb, depth, K, T, voxel=None)
+    # depth gating
+    assert (xyz[:, 2] > 0.1).all() and (xyz[:, 2] < 3.0).all()
+    # reproject a sample of points: must land on integer pixel centres
+    uvw = xyz[:1000] @ K.T
+    u = uvw[:, 0] / uvw[:, 2]
+    v = uvw[:, 1] / uvw[:, 2]
+    assert np.allclose(u, np.round(u), atol=1e-6)
+    assert np.allclose(v, np.round(v), atol=1e-6)
+
+    vx, vc = viz.depth_to_point_cloud(rgb, depth, K, T, voxel=0.02)
+    assert len(vx) < len(xyz) // 2  # voxel grid actually reduces
+    assert vc.dtype == np.uint8
+
+    ply = tmp_path / "cloud.ply"
+    viz.write_ply(ply, vx[:100], vc[:100])
+    text = ply.read_text().splitlines()
+    assert text[0] == "ply" and "element vertex 100" in text[2]
+    assert len(text) == 10 + 100
