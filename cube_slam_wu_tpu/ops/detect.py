@@ -41,10 +41,10 @@ class DetectConfig:
     rho_bin: float = 1.5  # px per offset bin
     t_bin: float = 2.0  # px per along-line bin
     grad_threshold: float = 30.0  # on |gx|+|gy| of the blurred image
-    n_peaks: int = 224  # Hough peaks examined
+    n_peaks: int = 384  # Hough peaks examined
     runs_per_peak: int = 6  # segments extracted per peak
     max_runs: int = 32  # run-id capacity per peak
-    inlier_rho_tol: float = 1.8  # px distance to the peak line
+    inlier_rho_tol: float = 2.0  # px half-width of the perpendicular window
     inlier_angle_tol_deg: float = 11.0
     min_inliers: float = 7.0  # occupied bins per run (~14 px)
     gap_bins: int = 2  # tolerated empty bins inside a run
@@ -52,7 +52,8 @@ class DetectConfig:
     merge_angle_deg: float = 5.0
     min_length: float = 15.0  # line_lbd_detect.line_length_thres analogue
     max_merge_iters: int = 400
-    max_edge_pixels: int = 32768  # compaction cap for per-peak work
+    max_edge_pixels: int = 32768  # compaction cap for the Hough vote scatter
+    max_output: int = 384  # final segment capacity (top-K by length)
 
 
 def gaussian_blur5(gray: jnp.ndarray, sigma: float = 1.0) -> jnp.ndarray:
@@ -149,44 +150,58 @@ def detect_line_segments(gray: jnp.ndarray, cfg: DetectConfig = DetectConfig()):
     rho_p = (pk_r.astype(dtype) + 0.5) * cfg.rho_bin - rho_off
 
     # ---- per-peak inlier raster along the line ----------------------------
+    # GATHER formulation: instead of scattering every edge pixel into
+    # per-peak bins (TPU scatters are the detector's round-1 bottleneck),
+    # walk each peak line through a dense packed field and read the support.
+    # Pack NMS'd gradient magnitude and the quantised normal angle into ONE
+    # f32 per pixel (mag*256 + psi_bin; mag <= 2040 so the product stays
+    # well inside the 24-bit f32 mantissa) so each sample costs one gather.
     cos_p, sin_p = jnp.cos(theta_p), jnp.sin(theta_p)
-    # per-peak work runs over the compacted edge-pixel list (flat_* above)
-    NB = int(2 * diag / cfg.t_bin) + 2
-    t_off = diag
+    PSI_Q = 256
+    psi_bin_img = jnp.floor(psi / math.pi * PSI_Q).astype(dtype)
+    packed = jnp.where(keep & (mag > cfg.grad_threshold), jnp.floor(mag), 0.0) * (
+        PSI_Q * 1.0
+    ) + psi_bin_img
 
-    # scatter per peak: occupancy[p, b] += w for inliers of peak p,
-    # chunked over peaks to bound the (CH, n_edge_pixels) intermediates
-    CH = 32  # peaks per chunk
+    # bins are centred on the projection of the image centre onto the line,
+    # so |t_rel| <= diag/2 always covers the visible extent
+    NB = int(diag / cfg.t_bin) + 2
+    ex_p, ey_p = -sin_p, cos_p  # along-line direction
+    t_c = 0.5 * W * ex_p + 0.5 * H * ey_p  # centre projection
+    ax_p = rho_p * cos_p + t_c * ex_p  # anchor point on the line
+    ay_p = rho_p * sin_p + t_c * ey_p
 
-    def chunk_body(carry, pk):
-        th_c, rh_c = pk  # (CH,)
-        cs, sn = jnp.cos(th_c), jnp.sin(th_c)
-        d = (
-            flat_x[None, :] * cs[:, None]
-            + flat_y[None, :] * sn[:, None]
-            - rh_c[:, None]
-        )
-        ang_ok = _angle_dist_pi(flat_psi[None, :], th_c[:, None]) < math.radians(
-            cfg.inlier_angle_tol_deg
-        )
-        inl = (jnp.abs(d) < cfg.inlier_rho_tol) & ang_ok & edge_valid[None, :]
-        t = -flat_x[None, :] * sn[:, None] + flat_y[None, :] * cs[:, None]
-        tb = jnp.clip(((t + t_off) / cfg.t_bin).astype(jnp.int32), 0, NB - 1)
-        occ = jnp.zeros((CH, NB), dtype)
-        pidx = jnp.broadcast_to(jnp.arange(CH)[:, None], tb.shape)
-        occ = occ.at[pidx.reshape(-1), tb.reshape(-1)].add(
-            jnp.where(inl, flat_w[None, :], 0.0).reshape(-1)
-        )
-        # also accumulate exact min/max t per bin for endpoint refinement
-        return carry, occ
+    t_rel = (jnp.arange(NB, dtype=dtype) - 0.5 * NB + 0.5) * cfg.t_bin  # (NB,)
+    n_perp = int(math.ceil(cfg.inlier_rho_tol)) * 2 + 1
+    offs = jnp.arange(n_perp, dtype=dtype) - (n_perp - 1) / 2.0  # (S,)
 
-    n_chunks = P // CH
-    _, occ_chunks = jax.lax.scan(
-        chunk_body,
-        None,
-        (theta_p.reshape(n_chunks, CH), rho_p.reshape(n_chunks, CH)),
+    # sample positions: anchor + t*dir + o*normal  ->  (P, NB, S)
+    sx = (
+        ax_p[:, None, None]
+        + t_rel[None, :, None] * ex_p[:, None, None]
+        + offs[None, None, :] * cos_p[:, None, None]
     )
-    occ = occ_chunks.reshape(P, NB)  # weighted occupancy per along-line bin
+    sy = (
+        ay_p[:, None, None]
+        + t_rel[None, :, None] * ey_p[:, None, None]
+        + offs[None, None, :] * sin_p[:, None, None]
+    )
+    xi = jnp.round(sx).astype(jnp.int32)
+    yi = jnp.round(sy).astype(jnp.int32)
+    inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+    v = packed[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+    s_mag = jnp.floor(v / PSI_Q)
+    s_psi = (v - s_mag * PSI_Q) * (math.pi / PSI_Q)
+    ang_ok = _angle_dist_pi(s_psi, theta_p[:, None, None]) < math.radians(
+        cfg.inlier_angle_tol_deg
+    )
+    w_smp = jnp.where(inb & ang_ok & (s_mag > 0), s_mag, 0.0)
+    occ = jnp.sum(w_smp, axis=-1)  # (P, NB) weighted support per bin
+    # perpendicular first moment per bin: lets each run re-fit a local
+    # offset+tilt, fixing the ~half-window bias a global Hough line has on
+    # slightly-bent structures (LSD fits each region locally; this is the
+    # batched analogue)
+    occ_o = jnp.sum(w_smp * offs[None, None, :], axis=-1)  # (P, NB)
 
     # ---- gap-tolerant run extraction on the (P, NB) raster ----------------
     occb = occ > 0
@@ -200,41 +215,66 @@ def detect_line_segments(gray: jnp.ndarray, cfg: DetectConfig = DetectConfig()):
     run_id = jnp.cumsum(run_start, axis=1) * closed  # 1-based ids, 0 = background
     run_id = jnp.minimum(run_id, cfg.max_runs)
 
-    bin_t = (jnp.arange(NB, dtype=dtype) + 0.5) * cfg.t_bin - t_off
+    bin_t = t_rel  # per-bin along-line offset relative to the anchor
 
-    def per_peak(run_id_p, occb_p, occ_p):
+    def per_peak(run_id_p, occb_p, occ_p, occo_p):
         ids = run_id_p  # (NB,)
-        one = jnp.where(occb_p, 1.0, 0.0)
         seg_ids = jnp.arange(1, cfg.max_runs + 1)
         member = (ids[None, :] == seg_ids[:, None]) & occb_p[None, :]  # (R, NB)
         counts = jnp.sum(member, axis=1)
-        weights = jnp.sum(jnp.where(member, occ_p[None, :], 0.0), axis=1)
+        w_bin = jnp.where(member, occ_p[None, :], 0.0)
+        o_bin = jnp.where(member, occo_p[None, :], 0.0)
+        weights = jnp.sum(w_bin, axis=1)
         tmin = jnp.min(jnp.where(member, bin_t[None, :], jnp.inf), axis=1)
         tmax = jnp.max(jnp.where(member, bin_t[None, :], -jnp.inf), axis=1)
-        del one
+        # weighted linear re-fit of the perpendicular offset o(t) = c0 + c1*t
+        # over the run's bins (normal equations of the 2-param LS problem)
+        St = jnp.sum(w_bin * bin_t[None, :], axis=1)
+        Stt = jnp.sum(w_bin * bin_t[None, :] ** 2, axis=1)
+        So = jnp.sum(o_bin, axis=1)
+        Sto = jnp.sum(o_bin * bin_t[None, :], axis=1)
+        det = weights * Stt - St * St
+        safe = det > 1e-6
+        c1 = jnp.where(safe, (weights * Sto - St * So) / jnp.where(safe, det, 1.0), 0.0)
+        c0 = jnp.where(weights > 0, (So - c1 * St) / jnp.maximum(weights, 1e-9), 0.0)
+        c0 = jnp.clip(c0, -cfg.inlier_rho_tol, cfg.inlier_rho_tol)
+        c1 = jnp.clip(c1, -0.2, 0.2)
         # pick the longest runs
         S = cfg.runs_per_peak
         sel = jax.lax.top_k(counts.astype(dtype), S)[1]
-        return counts[sel], weights[sel], tmin[sel], tmax[sel]
+        return counts[sel], weights[sel], tmin[sel], tmax[sel], c0[sel], c1[sel]
 
-    counts, weights, tmin, tmax = jax.vmap(per_peak)(run_id, occb, occ)
+    counts, weights, tmin, tmax, c0, c1 = jax.vmap(per_peak)(
+        run_id, occb, occ, occ_o
+    )
 
     ok = (counts >= cfg.min_inliers) & pk_valid[:, None] & jnp.isfinite(tmin) & jnp.isfinite(tmax)
-    # endpoints: p = rho*(cos,sin) + t*(-sin,cos); extend to bin edges
-    ex = -sin_p[:, None]
-    ey = cos_p[:, None]
-    bx = rho_p[:, None] * cos_p[:, None]
-    by = rho_p[:, None] * sin_p[:, None]
+    # endpoints: p = anchor + t*(-sin,cos); extend to bin edges
+    ex = ex_p[:, None]
+    ey = ey_p[:, None]
+    bx = ax_p[:, None]
+    by = ay_p[:, None]
     t0 = tmin - 0.5 * cfg.t_bin
     t1 = tmax + 0.5 * cfg.t_bin
-    x1 = bx + t0 * ex
-    y1 = by + t0 * ey
-    x2 = bx + t1 * ex
-    y2 = by + t1 * ey
+    # apply the per-run local re-fit: p(t) = anchor + t*dir + (c0+c1*t)*normal
+    o0 = c0 + c1 * t0
+    o1 = c0 + c1 * t1
+    x1 = bx + t0 * ex + o0 * cos_p[:, None]
+    y1 = by + t0 * ey + o0 * sin_p[:, None]
+    x2 = bx + t1 * ex + o1 * cos_p[:, None]
+    y2 = by + t1 * ey + o1 * sin_p[:, None]
     segs = jnp.stack([x1, y1, x2, y2], axis=-1).reshape(-1, 4)
     seg_mask = ok.reshape(-1)
     seg_weight = jnp.where(seg_mask, weights.reshape(-1), 0.0)
     segs = jnp.where(seg_mask[:, None], segs, 0.0)
+
+    # compact to the strongest candidates before the O(K^2) dedupe/merge
+    # (most of the n_peaks*runs_per_peak slots fail the min_inliers gate)
+    M = min(2 * cfg.max_output + cfg.max_output // 2, segs.shape[0])
+    _, sel_idx = jax.lax.top_k(seg_weight, M)
+    segs = segs[sel_idx]
+    seg_mask = seg_mask[sel_idx]
+    seg_weight = seg_weight[sel_idx]
 
     # one-shot dedupe: drop a segment if a strictly stronger, nearly-parallel
     # segment overlaps it (adjacent Hough peaks produce near-duplicates)
@@ -279,4 +319,11 @@ def detect_line_segments(gray: jnp.ndarray, cfg: DetectConfig = DetectConfig()):
         cfg.min_length,
         max_iters=cfg.max_merge_iters,
     )
-    return merged, merged_mask
+
+    # final fixed-capacity output: keep the longest max_output segments.
+    # This bounds every downstream consumer's line axis (the proposal
+    # engine's per-ROI merge is O(L^2) in this capacity).
+    K = min(cfg.max_output, merged.shape[0])
+    lens = jnp.where(merged_mask, line_ops.line_lengths(merged), 0.0)
+    _, out_idx = jax.lax.top_k(lens, K)
+    return merged[out_idx], merged_mask[out_idx] & (lens[out_idx] > 0)
