@@ -592,60 +592,44 @@ def _sample_offsets(lo, hi, step, dtype):
     return jnp.asarray(out, dtype=dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "return_internals"))
-def detect_cuboid_single(
+def hypothesis_grid(
     gray: jnp.ndarray,
     K: jnp.ndarray,
     T_wc: jnp.ndarray,
-    bbox: jnp.ndarray,
+    box,
     lines: jnp.ndarray,
     line_mask: jnp.ndarray,
-    cfg: ProposalConfig = ProposalConfig(),
-    return_internals: bool = False,
-    yaw_prior: jnp.ndarray | None = None,
+    cfg: ProposalConfig,
+    euler_raw,
+    roll_flat: jnp.ndarray,
+    pitch_flat: jnp.ndarray,
+    rp_valid: jnp.ndarray,
+    yaws: jnp.ndarray,
+    top_xs: jnp.ndarray,
+    top_ok: jnp.ndarray,
+    include_maps: bool = True,
 ):
-    """Detect the best cuboid for one 2D bounding box.
+    """Stage A of the proposal engine: the raw per-hypothesis grid for an
+    EXPLICIT roll/pitch sample set (box_proposal_detail.cpp:200-713 —
+    everything before score fusion).
 
-    Args:
-      gray: (H, W) float grayscale image.
-      K: (3, 3) intrinsics.
-      T_wc: (4, 4) camera-to-world transform.
-      bbox: (4,) [x, y, w, h] (0-based pixels).
-      lines: (L, 4) detected segments [x1 y1 x2 y2] (padded).
-      line_mask: (L,) validity of `lines`.
-      cfg: static configuration.
+    Factored out of `detect_cuboid_single` so the roll/pitch axis can be
+    sharded across a device mesh (parallel.sharded_proposal): each device
+    computes the hypothesis blocks of its roll/pitch slice; score fusion
+    min-max-normalises over ALL hypotheses of a height sample and therefore
+    runs after the shards are reassembled (`_fuse_and_rank`).
 
-    Mirrors detect_cuboid (box_proposal_detail.cpp:65-861).  Bbox-height
-    sampling (`cfg.sample_bbox_height`, whether_sample_bbox_height in the
-    reference) runs the grid at 3 bottom expansions {0, r/2, r} with
-    per-sample score fusion; both reference drivers default it off
-    (detect_3d_cuboid/src/main.cpp:68, object_slam/src/main_obj.cpp:498).
+    `box` is the floored (left, top, w, h, right) scalars; `rp_valid` masks
+    padded roll/pitch rows (False rows yield valid=False hypotheses, which
+    fusion and ranking already ignore — padding the roll/pitch axis to a
+    device-count multiple is exact).  `lines` must already be
+    left-right-aligned.  Returns (hblocks, aux): hblocks is one dict of
+    (..., Hc)-arrays per bbox-height sample, aux the (Hc,) yaw/roll/pitch
+    broadcasts and the config count.
     """
     dtype = gray.dtype
     img_h, img_w = gray.shape
-    bbox = bbox.astype(dtype)
-    left = jnp.floor(bbox[0])
-    top = jnp.floor(bbox[1])
-    w = jnp.floor(bbox[2])
-    h = jnp.floor(bbox[3])
-    right = left + w
-
-    lines = line_ops.align_left_right(lines.astype(dtype))
-
-    # ---- sample grids (shared across height samples) -----------------------
-    cam0 = cam.make_camera_pose(K.astype(dtype), T_wc.astype(dtype))
-    euler_raw = cam0.euler
-
-    if cfg.sample_cam_roll_pitch:
-        rp_off = _sample_offsets(-6.0, 6.0, 3.0, dtype) * (math.pi / 180.0)
-        rolls = euler_raw[0] + rp_off
-        pitchs = euler_raw[1] + rp_off
-        roll_grid, pitch_grid = jnp.meshgrid(rolls, pitchs, indexing="ij")
-        roll_flat = roll_grid.reshape(-1)
-        pitch_flat = pitch_grid.reshape(-1)
-    else:
-        roll_flat = euler_raw[0][None]
-        pitch_flat = euler_raw[1][None]
+    left, top, w, h, right = box
     RP = roll_flat.shape[0]
 
     # rebuild camera products per (roll, pitch): rotation replaced
@@ -657,17 +641,7 @@ def detect_cuboid_single(
     cams = cam.make_camera_pose(jnp.broadcast_to(K.astype(dtype), (RP, 3, 3)), T_new)
     ground_sensor = cam.ground_plane_sensor_frame(T_new)  # (RP, 4)
 
-    yaw_off = _sample_offsets(-45.0, 45.0, 6.0, dtype) * (math.pi / 180.0)
-    yaw_init = euler_raw[2] - math.pi / 2.0
-    yaws = yaw_init + yaw_off  # (Y,)
     Y = yaws.shape[0]
-
-    # top-edge samples (box_proposal_detail.cpp:212-237):
-    # step = min(20, w // 10) integer semantics; samples while <= right-5
-    step = jnp.minimum(20.0, jnp.floor(w / 10.0))
-    ks = jnp.arange(cfg.max_top_samples, dtype=dtype)
-    top_xs = left + 5.0 + ks * step
-    top_ok = (top_xs <= right - 5.0) & (step >= 1.0)
     T = cfg.max_top_samples
 
     # vanishing points depend only on (roll, pitch, yaw) — shared; kept
@@ -704,6 +678,7 @@ def detect_cuboid_single(
     plane = tuple(bcast_rp(ground_sensor[:, k]) for k in range(4))
     roll_f = bcast_rp(roll_flat)
     pitch_f = bcast_rp(pitch_flat)
+    rp_valid_f = bcast_rp(rp_valid)
 
     config_ids = []
     if cfg.consider_config_1:
@@ -781,14 +756,14 @@ def detect_cuboid_single(
                     proposal_fused.hypothesis_block_fused(
                         vp, c1x, geom, config_id, cfg.shorted_edge_thre,
                         ang_a, ang_b, has, Kinv, Twc_soa, plane,
-                        top_ok_f & sample_valid,
+                        top_ok_f & sample_valid & rp_valid_f,
                     )
                 )
             else:
                 cx, cy, vp1_pos, valid = _corner_chain(
                     vp, c1x, c1y, geom, config_id, cfg.shorted_edge_thre
                 )
-                valid &= top_ok_f & sample_valid
+                valid &= top_ok_f & sample_valid & rp_valid_f
                 angle = _edge_angle_score(ang_a, ang_b, has, cx, cy, config_id)
                 px, py, pz, lh, wh, hh = _lift_soa(cx, cy, Kinv, Twc_soa, plane)
             dist = _edge_dist_score(
@@ -818,17 +793,11 @@ def detect_cuboid_single(
             key: jnp.concatenate([b[key] for b in blocks], axis=-1)
             for key in blocks[0]
         }
-        # score fusion runs PER height sample (box_proposal_detail.cpp:715)
-        scores, kept = fuse_normalized_scores(
-            out["dist"], out["angle"], out["valid"],
-            cfg.weight_vp_angle, cfg.whether_normalize_two_errors,
-        )
-        out["scores"] = scores
-        out["kept"] = kept
-        out["down_expand"] = jnp.broadcast_to(down_expand, scores.shape)
-        out["dist_map"] = dist_map
-        out["m_lines"] = m_lines
-        out["m_mask"] = m_mask
+        out["down_expand"] = jnp.broadcast_to(down_expand, out["valid"].shape)
+        if include_maps:
+            out["dist_map"] = dist_map
+            out["m_lines"] = m_lines
+            out["m_mask"] = m_mask
         return out
 
     # bbox-height samples (box_proposal_detail.cpp:160-172)
@@ -844,6 +813,39 @@ def detect_cuboid_single(
         height_samples = [(jnp.asarray(0.0, dtype), jnp.asarray(True))]
 
     hblocks = [height_sample_block(d, v) for d, v in height_samples]
+    aux = dict(yaw_f=yaw_f, roll_f=roll_f, pitch_f=pitch_f, nC=nC)
+    return hblocks, aux
+
+
+def _fuse_and_rank(
+    hblocks,
+    aux,
+    cfg: ProposalConfig,
+    euler_raw,
+    yaw_prior=None,
+    return_internals: bool = False,
+    extras=None,
+):
+    """Stage B of the proposal engine: per-height-sample score fusion
+    (fuse_normalize_scores_v2, object_3d_util.cpp:726-837) followed by the
+    global skew-penalised ranking (box_proposal_detail.cpp:801-838).
+
+    Operates on full (reassembled) hypothesis blocks — see
+    `hypothesis_grid` for the sharding contract.  `extras` supplies the
+    yaws/top_xs/top_ok sample grids for `return_internals`.
+    """
+    yaw_f = aux["yaw_f"]
+    roll_f = aux["roll_f"]
+    pitch_f = aux["pitch_f"]
+    nC = aux["nC"]
+    # score fusion runs PER height sample (box_proposal_detail.cpp:715)
+    for b in hblocks:
+        scores_b, kept_b = fuse_normalized_scores(
+            b["dist"], b["angle"], b["valid"],
+            cfg.weight_vp_angle, cfg.whether_normalize_two_errors,
+        )
+        b["scores"] = scores_b
+        b["kept"] = kept_b
 
     def cat(key):
         return jnp.concatenate([b[key] for b in hblocks], axis=-1)
@@ -862,6 +864,7 @@ def detect_cuboid_single(
     wid_h = cat("wid_h")
     hei_h = cat("hei_h")
     scores = cat("scores")
+    dtype = scores.dtype
     kept = cat("kept")
     down_expand_f = cat("down_expand")
     nS = len(hblocks)
@@ -984,12 +987,94 @@ def detect_cuboid_single(
         merged_lines=hblocks[0]["m_lines"],
         merged_mask=hblocks[0]["m_mask"],
         dist_map=hblocks[0]["dist_map"],
-        yaws=yaws,
-        top_xs=top_xs,
-        top_ok=top_ok,
+        yaws=extras["yaws"],
+        top_xs=extras["top_xs"],
+        top_ok=extras["top_ok"],
         best=best,
     )
     return result, internals
+
+
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "return_internals"))
+def detect_cuboid_single(
+    gray: jnp.ndarray,
+    K: jnp.ndarray,
+    T_wc: jnp.ndarray,
+    bbox: jnp.ndarray,
+    lines: jnp.ndarray,
+    line_mask: jnp.ndarray,
+    cfg: ProposalConfig = ProposalConfig(),
+    return_internals: bool = False,
+    yaw_prior: jnp.ndarray | None = None,
+):
+    """Detect the best cuboid for one 2D bounding box.
+
+    Args:
+      gray: (H, W) float grayscale image.
+      K: (3, 3) intrinsics.
+      T_wc: (4, 4) camera-to-world transform.
+      bbox: (4,) [x, y, w, h] (0-based pixels).
+      lines: (L, 4) detected segments [x1 y1 x2 y2] (padded).
+      line_mask: (L,) validity of `lines`.
+      cfg: static configuration.
+
+    Mirrors detect_cuboid (box_proposal_detail.cpp:65-861).  Bbox-height
+    sampling (`cfg.sample_bbox_height`, whether_sample_bbox_height in the
+    reference) runs the grid at 3 bottom expansions {0, r/2, r} with
+    per-sample score fusion; both reference drivers default it off
+    (detect_3d_cuboid/src/main.cpp:68, object_slam/src/main_obj.cpp:498).
+    """
+    dtype = gray.dtype
+    img_h, img_w = gray.shape
+    bbox = bbox.astype(dtype)
+    left = jnp.floor(bbox[0])
+    top = jnp.floor(bbox[1])
+    w = jnp.floor(bbox[2])
+    h = jnp.floor(bbox[3])
+    right = left + w
+
+    lines = line_ops.align_left_right(lines.astype(dtype))
+
+    # ---- sample grids (shared across height samples) -----------------------
+    cam0 = cam.make_camera_pose(K.astype(dtype), T_wc.astype(dtype))
+    euler_raw = cam0.euler
+
+    if cfg.sample_cam_roll_pitch:
+        rp_off = _sample_offsets(-6.0, 6.0, 3.0, dtype) * (math.pi / 180.0)
+        rolls = euler_raw[0] + rp_off
+        pitchs = euler_raw[1] + rp_off
+        roll_grid, pitch_grid = jnp.meshgrid(rolls, pitchs, indexing="ij")
+        roll_flat = roll_grid.reshape(-1)
+        pitch_flat = pitch_grid.reshape(-1)
+    else:
+        roll_flat = euler_raw[0][None]
+        pitch_flat = euler_raw[1][None]
+    RP = roll_flat.shape[0]
+
+    yaw_off = _sample_offsets(-45.0, 45.0, 6.0, dtype) * (math.pi / 180.0)
+    yaw_init = euler_raw[2] - math.pi / 2.0
+    yaws = yaw_init + yaw_off  # (Y,)
+    Y = yaws.shape[0]
+
+    # top-edge samples (box_proposal_detail.cpp:212-237):
+    # step = min(20, w // 10) integer semantics; samples while <= right-5
+    step = jnp.minimum(20.0, jnp.floor(w / 10.0))
+    ks = jnp.arange(cfg.max_top_samples, dtype=dtype)
+    top_xs = left + 5.0 + ks * step
+    top_ok = (top_xs <= right - 5.0) & (step >= 1.0)
+    T = cfg.max_top_samples
+
+    rp_valid = jnp.ones(roll_flat.shape, bool)
+    hblocks, aux = hypothesis_grid(
+        gray, K, T_wc, (left, top, w, h, right), lines, line_mask, cfg,
+        euler_raw, roll_flat, pitch_flat, rp_valid, yaws, top_xs, top_ok,
+    )
+    return _fuse_and_rank(
+        hblocks, aux, cfg, euler_raw, yaw_prior, return_internals,
+        extras=dict(yaws=yaws, top_xs=top_xs, top_ok=top_ok),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

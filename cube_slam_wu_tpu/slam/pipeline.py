@@ -110,6 +110,8 @@ def run_online_frontend(
     min_iou: float = 0.3,
     use_yaw_prior: bool = False,
     canonicalize_yaw: bool = True,
+    line_track_weight: float = 0.0,
+    line_track_gate: float = 80.0,
 ):
     """Multi-object online front-end: per frame, line detection -> batched
     cuboid proposals for every 2D detection -> IoU tracklet association into
@@ -169,6 +171,13 @@ def run_online_frontend(
     track_alive = np.zeros(O, bool)
     track_yaw = np.full(O, np.nan)  # last accepted yaw per track (prior)
     report = FrontendReport(n, [], [], [], [], 0)
+    # line-track consistency state (VERDICT round-1 item 7): LBD float
+    # descriptors of the previous frame's lines, matched frame-to-frame to
+    # down-weight cuboid measurements from frames whose ROI line sets are
+    # unstable.  line_track_weight=0 disables (reference behaviour: quality
+    # depends only on the proposal error, main_obj.cpp:732).
+    prev_lines32 = prev_lmask = prev_desc = None
+    line_matched = mids32 = None
 
     for i, (img_path, det_path) in enumerate(frame_specs):
         img_path = pathlib.Path(img_path)
@@ -194,6 +203,29 @@ def run_online_frontend(
             gray.astype(jnp.float32), detect_cfg
         )
         lines = lines32.astype(dtype)
+        if line_track_weight > 0.0:
+            from cube_slam_wu_tpu.ops import lbd as lbd_ops
+
+            desc, dvalid = lbd_ops.lbd_descriptors(
+                gray.astype(jnp.float32), lines32, lmask
+            )
+            dvalid = dvalid & lmask
+            line_matched = None
+            if prev_desc is not None:
+                _, _, matched_j = lbd_ops.l2_match(
+                    desc,
+                    prev_desc,
+                    dvalid,
+                    prev_lmask,
+                    query_lines=lines32,
+                    train_lines=prev_lines32,
+                    max_midpoint_dist=line_track_gate,
+                )
+                line_matched = np.asarray(matched_j)
+                mids32 = np.asarray(
+                    0.5 * (lines32[:, 0:2] + lines32[:, 2:4])
+                )
+            prev_lines32, prev_lmask, prev_desc = lines32, dvalid, desc
         cfg = ProposalConfig(
             max_lines=int(lines.shape[0]),
             sample_cam_roll_pitch=(i != 0),  # main_obj.cpp:624
@@ -305,6 +337,23 @@ def run_online_frontend(
             local = cube_ground.transform_to(pose_used)
             meas9[i, o] = np.asarray(local.to_minimal())
             quality[i, o] = (1.0 - float(res.normalized_error[d]) + 0.5) / 2.0
+            if line_track_weight > 0.0 and line_matched is not None:
+                # fraction of this track's ROI lines that found a
+                # frame-to-frame descriptor match: unstable line sets imply
+                # an unstable proposal, so scale the measurement weight
+                x0b, y0b, x1b, y1b = boxes_c[d]
+                mx, my = (x0b + x1b) / 2, (y0b + y1b) / 2
+                hw = (x1b - x0b) * 0.6 + 10
+                hh = (y1b - y0b) * 0.6 + 10
+                roi = (
+                    np.asarray(lmask)
+                    & (np.abs(mids32[:, 0] - mx) < hw)
+                    & (np.abs(mids32[:, 1] - my) < hh)
+                )
+                cons = float(line_matched[roi].mean()) if roi.any() else 0.0
+                quality[i, o] *= (1.0 - line_track_weight) + (
+                    line_track_weight * cons
+                )
             has[i, o] = True
 
     frames = tracker.FrameInput(
@@ -330,6 +379,8 @@ def run_online_slam(
     max_detections: int | None = None,
     min_iou: float = 0.3,
     window: int | None = None,
+    line_track_weight: float = 0.0,
+    robust_delta: float | None = None,
 ):
     """Full online mono pipeline over the reference dataset layout: per-frame
     line detection -> cuboid proposals (all detections) -> IoU association
@@ -361,6 +412,7 @@ def run_online_slam(
         max_detections=max_detections,
         min_iou=min_iou,
         use_yaw_prior=use_yaw_prior,
+        line_track_weight=line_track_weight,
     )
     graph, chi2s, cube_hist = tracker.run_incremental(
         first_Twc,
@@ -368,6 +420,7 @@ def run_online_slam(
         iterations=iterations,
         soft_gate_alpha=soft_gate_alpha,
         window=window,
+        robust_delta=robust_delta,
     )
 
     if refine_with_points:
@@ -401,6 +454,7 @@ def run_kitti_slam(
     max_detections: int = 4,
     min_iou: float = 0.25,
     window: int | None = None,
+    robust_delta: float | None = None,
 ):
     """Multi-object online SLAM over a KITTI-odometry-layout sequence
     (BASELINE config 5; the reference's capability class per its paper,
@@ -450,6 +504,7 @@ def run_kitti_slam(
         iterations=iterations,
         soft_gate_alpha=soft_gate_alpha,
         window=window,
+        robust_delta=robust_delta,
     )
     traj = np.asarray(graph.cam_Twc().to_xyzq())
     cubes = np.asarray(graph.cube.to_minimal())

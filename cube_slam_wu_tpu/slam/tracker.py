@@ -136,6 +136,7 @@ def make_incremental_step(
     gate_threshold: float | None = None,
     soft_gate_alpha: float | None = None,
     soft_gate_power: float = 1.0,
+    robust_delta: float | None = None,
 ):
     """Build the full-graph scan body:
     (graph, (index, FrameInput slice, first_pose)) -> graph.
@@ -151,7 +152,9 @@ def make_incremental_step(
             gate_threshold, soft_gate_alpha, soft_gate_power,
         )
         # -- full-graph re-optimisation (main_obj.cpp:802-803) ---------------
-        result = ba.optimize(g, iterations=iterations, fix_first=True)
+        result = ba.optimize(
+            g, iterations=iterations, fix_first=True, robust_delta=robust_delta
+        )
         g = g._replace(cam_Tcw=result.cam_Tcw, cube=result.cube)
         # skip everything for padded slots
         g = jax.tree.map(lambda a, b: jnp.where(frame.active, a, b), g, graph)
@@ -168,6 +171,7 @@ def make_windowed_step(
     gate_threshold: float | None = None,
     soft_gate_alpha: float | None = None,
     soft_gate_power: float = 1.0,
+    robust_delta: float | None = None,
 ):
     """Fixed-lag scan body: optimise only the trailing `window` frames; on
     frame departure absorb its cuboid edges into the Gaussian prior
@@ -204,7 +208,8 @@ def make_windowed_step(
         s = jnp.clip(i - W + 1, 0, g.capacity - W)
         win = win_mod.window_slice(g, s, W)
         result = ba.optimize(
-            win, iterations=iterations, fix_first=True, prior=prior_new
+            win, iterations=iterations, fix_first=True, prior=prior_new,
+            robust_delta=robust_delta,
         )
         g = win_mod.window_scatter(g, result.cam_Tcw, s)
         g = g._replace(cube=result.cube)
@@ -228,6 +233,7 @@ def run_incremental(
     soft_gate_alpha: float | None = None,
     soft_gate_power: float = 1.0,
     window: int | None = None,
+    robust_delta: float | None = None,
 ):
     """Run incremental SLAM over all frames.
 
@@ -253,7 +259,8 @@ def run_incremental(
     )
     if window is None or window >= capacity:
         step = make_incremental_step(
-            iterations, gate_threshold, soft_gate_alpha, soft_gate_power
+            iterations, gate_threshold, soft_gate_alpha, soft_gate_power,
+            robust_delta,
         )
         graph, (chi2s, cube_history) = jax.lax.scan(
             step, graph, (idxs, frames, first_b)
@@ -263,7 +270,8 @@ def run_incremental(
     from cube_slam_wu_tpu.slam.window import CubePrior
 
     step = make_windowed_step(
-        window, iterations, gate_threshold, soft_gate_alpha, soft_gate_power
+        window, iterations, gate_threshold, soft_gate_alpha, soft_gate_power,
+        robust_delta,
     )
     prior = CubePrior.empty(n_obj, dtype)
     (graph, _), (chi2s, cube_history) = jax.lax.scan(
