@@ -102,6 +102,22 @@ class ProposalConfig:
     # equivalent to the unfused path (gated by tests/test_proposal_fused.py);
     # on CPU backends the kernel runs in interpreter mode.
     fused_kernel: bool = False
+    # Compact the chamfer-score gather to the VALID hypotheses only.  Score
+    # fusion and ranking never read the edge-distance of an invalid
+    # hypothesis (fuse_normalized_scores masks with +inf), so gathering the
+    # ~99 dist-map samples per hypothesis only for hypotheses that survived
+    # the corner-chain guards is exact — and the per-element gather is the
+    # proposal grid's dominant TPU cost (scratch/stage_ablate.log: 23 ms ->
+    # 1.3 ms without it) while only ~20-26% of hypotheses are valid on the
+    # bundled sequences (scratch/valid_frac.py: max 3832/9600 config-1 and
+    # 904/9600 config-2 per block).  The cap is static: per config block,
+    # the cap hypotheses with valid flags (ordered valid-first,
+    # index-stable) are gathered; in the measured-impossible event that
+    # MORE than the cap are valid, the overflow hypotheses are dropped
+    # (valid=False).  0 disables.  Config 2's tighter corner-chain guards
+    # (fewer corners inside the box) justify its smaller cap.
+    dist_gather_cap: int = 5120
+    dist_gather_cap2: int = 2048
 
     @property
     def rp_count(self) -> int:
@@ -375,6 +391,9 @@ def _edge_dist_score(
     # sample_pt = frac*a + (1-frac)*b  (reference orders from corner2 to 1)
     px = frac[None, :, None] * ax[:, None, :] + (1.0 - frac[None, :, None]) * bx[:, None, :]
     py = frac[None, :, None] * ay[:, None, :] + (1.0 - frac[None, :, None]) * by[:, None, :]
+    # flat 1D `take` instead of a 2D gather: XLA lowers the 2D form to a
+    # slower per-element path on TPU (~1.45x, scratch/gather_bench.log)
+    flat = dist_map.reshape(-1)
     if bilinear:
         x0 = jnp.clip(jnp.floor(px), 0.0, wimg - 1.0)
         y0 = jnp.clip(jnp.floor(py), 0.0, h - 1.0)
@@ -384,16 +403,18 @@ def _edge_dist_score(
         yi = y0.astype(jnp.int32)
         xi1 = jnp.minimum(xi + 1, wimg - 1)
         yi1 = jnp.minimum(yi + 1, h - 1)
+        row = yi * wimg
+        row1 = yi1 * wimg
         d = (
-            dist_map[yi, xi] * (1 - fx) * (1 - fy)
-            + dist_map[yi, xi1] * fx * (1 - fy)
-            + dist_map[yi1, xi] * (1 - fx) * fy
-            + dist_map[yi1, xi1] * fx * fy
+            jnp.take(flat, row + xi) * (1 - fx) * (1 - fy)
+            + jnp.take(flat, row + xi1) * fx * (1 - fy)
+            + jnp.take(flat, row1 + xi) * (1 - fx) * fy
+            + jnp.take(flat, row1 + xi1) * fx * fy
         )
     else:
         xi = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, wimg - 1)
         yi = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, h - 1)
-        d = dist_map[yi, xi]  # (9, 11, H)
+        d = jnp.take(flat, yi * wimg + xi)  # (9, 11, H)
     return jnp.einsum("e,esh->h", w, d)
 
 
@@ -766,10 +787,28 @@ def hypothesis_grid(
                 valid &= top_ok_f & sample_valid & rp_valid_f
                 angle = _edge_angle_score(ang_a, ang_b, has, cx, cy, config_id)
                 px, py, pz, lh, wh, hh = _lift_soa(cx, cy, Kinv, Twc_soa, plane)
-            dist = _edge_dist_score(
-                dist_map, cx, cy, config_id, cfg.reweight_edge_distance,
-                bilinear=cfg.bilinear_dist,
+            cap = (
+                cfg.dist_gather_cap if config_id == 1 else cfg.dist_gather_cap2
             )
+            if 0 < cap < Hc:
+                # gather the chamfer samples only for VALID hypotheses
+                # (exact: fusion/ranking mask invalid dists with +inf; see
+                # ProposalConfig.dist_gather_cap)
+                Kc = cap
+                order = jnp.argsort(
+                    (~valid).astype(jnp.int8), stable=True
+                )[:Kc]
+                distc = _edge_dist_score(
+                    dist_map, cx[:, order], cy[:, order], config_id,
+                    cfg.reweight_edge_distance, bilinear=cfg.bilinear_dist,
+                )
+                dist = jnp.zeros((Hc,), dist_map.dtype).at[order].set(distc)
+                valid &= jnp.zeros((Hc,), bool).at[order].set(True)
+            else:
+                dist = _edge_dist_score(
+                    dist_map, cx, cy, config_id, cfg.reweight_edge_distance,
+                    bilinear=cfg.bilinear_dist,
+                )
             dist = dist / diag
             blocks.append(
                 dict(
