@@ -189,7 +189,12 @@ def detect_line_segments(gray: jnp.ndarray, cfg: DetectConfig = DetectConfig()):
     xi = jnp.round(sx).astype(jnp.int32)
     yi = jnp.round(sy).astype(jnp.int32)
     inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-    v = packed[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+    # flat 1D take: XLA lowers the 2D gather form to a ~1.45x slower
+    # per-element path on TPU (scratch/gather_bench.log)
+    v = jnp.take(
+        packed.reshape(-1),
+        jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1),
+    )
     s_mag = jnp.floor(v / PSI_Q)
     s_psi = (v - s_mag * PSI_Q) * (math.pi / PSI_Q)
     ang_ok = _angle_dist_pi(s_psi, theta_p[:, None, None]) < math.radians(
