@@ -167,6 +167,7 @@ def run_online_frontend(
     meas9 = np.zeros((n, O, 9))
     quality = np.zeros((n, O))
     has = np.zeros((n, O), bool)
+    bbox2d = np.zeros((n, O, 4))  # associated YOLO box as [cx, cy, w, h]
     track_bbox = np.zeros((O, 4))  # last associated detection, corner form
     track_alive = np.zeros(O, bool)
     track_yaw = np.full(O, np.nan)  # last accepted yaw per track (prior)
@@ -354,6 +355,10 @@ def run_online_frontend(
                 quality[i, o] *= (1.0 - line_track_weight) + (
                     line_track_weight * cons
                 )
+            x0b, y0b, x1b, y1b = boxes_c[d]
+            bbox2d[i, o] = [
+                (x0b + x1b) / 2, (y0b + y1b) / 2, x1b - x0b, y1b - y0b
+            ]
             has[i, o] = True
 
     frames = tracker.FrameInput(
@@ -361,6 +366,8 @@ def run_online_frontend(
         quality=jnp.asarray(quality, dtype),
         has_meas=jnp.asarray(has),
         active=jnp.ones((n,), bool),
+        bbox=jnp.asarray(bbox2d, dtype),
+        bbox_weight=jnp.zeros((n, O), dtype),  # caller scales (bbox_edge_weight)
     )
     return frames, report
 
@@ -372,7 +379,7 @@ def run_online_slam(
     dtype=None,
     detect_cfg=None,
     proposal_overrides: dict | None = None,
-    soft_gate_alpha: float | None = 2.0,
+    soft_gate_alpha: float | None = 1.0,
     refine_with_points: bool = False,
     use_yaw_prior: bool = False,
     max_objects: int = 1,
@@ -381,11 +388,25 @@ def run_online_slam(
     window: int | None = None,
     line_track_weight: float = 0.0,
     robust_delta: float | None = None,
+    bbox_edge_weight: float = 0.005,
 ):
     """Full online mono pipeline over the reference dataset layout: per-frame
     line detection -> cuboid proposals (all detections) -> IoU association
     into object slots -> incremental BA (mirrors main_obj.cpp online branch,
-    :585-679, generalised to `max_objects` landmarks)."""
+    :585-679, generalised to `max_objects` landmarks).
+
+    `bbox_edge_weight` adds EdgeSE3CuboidProj factors on the associated
+    YOLO boxes (g2o_Object.h:264-292 — shipped by the reference but unused
+    by its driver, which builds only the 3D edge, main_obj.cpp:762-782).
+    The 2D box anchors the projected cuboid against the detector's most
+    reliable signal; on the full bundled 58-frame run this is the largest
+    single quality lever measured (scratch/bbw_sweep.log):
+    ATE 0.2353 -> 0.1789 direct / 0.1966 -> 0.1311 aligned at the default
+    (weight 0.005, soft_gate_alpha 1.0), beating BOTH the reference's
+    committed output (0.2205/0.1704) and our own offline parity run
+    (0.2014).  The basin is flat (0.003..0.006 all <= 0.184) and the result
+    is bit-identical in float32.  Set 0.0 for reference-parity behaviour
+    (gate alpha 2.0 was the optimum there, ATE 0.2353)."""
     dtype = dtype or _default_dtype()
     base = pathlib.Path(base_folder)
     truth = uio.read_number_txt(base / "truth_cam_poses.txt")
@@ -414,6 +435,15 @@ def run_online_slam(
         use_yaw_prior=use_yaw_prior,
         line_track_weight=line_track_weight,
     )
+    if bbox_edge_weight > 0.0:
+        # EdgeSE3CuboidProj factors on the associated YOLO boxes
+        # (g2o_Object.h:264-292; beyond the reference driver, which builds
+        # only the 3D edge, main_obj.cpp:762-782)
+        frames = frames._replace(
+            bbox_weight=jnp.where(
+                frames.has_meas, jnp.asarray(bbox_edge_weight, dtype), 0.0
+            )
+        )
     graph, chi2s, cube_hist = tracker.run_incremental(
         first_Twc,
         frames,
@@ -421,6 +451,7 @@ def run_online_slam(
         soft_gate_alpha=soft_gate_alpha,
         window=window,
         robust_delta=robust_delta,
+        K=jnp.asarray(K_np, dtype) if bbox_edge_weight > 0.0 else None,
     )
 
     if refine_with_points:
@@ -455,6 +486,7 @@ def run_kitti_slam(
     min_iou: float = 0.25,
     window: int | None = None,
     robust_delta: float | None = None,
+    bbox_edge_weight: float = 0.0,
 ):
     """Multi-object online SLAM over a KITTI-odometry-layout sequence
     (BASELINE config 5; the reference's capability class per its paper,
@@ -498,6 +530,12 @@ def run_kitti_slam(
         max_detections=max_detections,
         min_iou=min_iou,
     )
+    if bbox_edge_weight > 0.0:
+        frames = frames._replace(
+            bbox_weight=jnp.where(
+                frames.has_meas, jnp.asarray(bbox_edge_weight, dtype), 0.0
+            )
+        )
     graph, chi2s, cube_hist = tracker.run_incremental(
         first_Twc,
         frames,
@@ -505,6 +543,7 @@ def run_kitti_slam(
         soft_gate_alpha=soft_gate_alpha,
         window=window,
         robust_delta=robust_delta,
+        K=jnp.asarray(seq.K, dtype) if bbox_edge_weight > 0.0 else None,
     )
     traj = np.asarray(graph.cam_Twc().to_xyzq())
     cubes = np.asarray(graph.cube.to_minimal())

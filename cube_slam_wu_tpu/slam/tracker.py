@@ -33,6 +33,13 @@ class FrameInput(NamedTuple):
     quality: jnp.ndarray  # (N, O) in [0.5, 1]; weight = 2*quality
     has_meas: jnp.ndarray  # (N, O) bool
     active: jnp.ndarray  # (N,) bool: frame exists (for padded batches)
+    # optional 2D bbox observations [cx, cy, w, h] per (frame, object) for
+    # EdgeSE3CuboidProj factors (g2o_Object.h:264-292).  The reference's
+    # object_slam driver builds only the 3D EdgeSE3Cuboid; the projection
+    # edge is part of its capability surface and is wired here behind
+    # bbox_weight (None/0 = reference behaviour).
+    bbox: jnp.ndarray | None = None  # (N, O, 4)
+    bbox_weight: jnp.ndarray | None = None  # (N, O)
 
 
 def _set_se3(batch: SE3, i, value: SE3) -> SE3:
@@ -114,6 +121,14 @@ def _insert_frame(
         cube_meas_weight=graph.cube_meas_weight.at[i].set(2.0 * quality),
         cube_meas_mask=graph.cube_meas_mask.at[i].set(frame.active & has_meas),
     )
+    if frame.bbox is not None:
+        g = g._replace(
+            bbox_meas=g.bbox_meas.at[i].set(frame.bbox),
+            bbox_weight=g.bbox_weight.at[i].set(frame.bbox_weight),
+            bbox_mask=g.bbox_mask.at[i].set(
+                frame.active & has_meas & (frame.bbox_weight > 0)
+            ),
+        )
 
     # -- cuboid vertex initialisation on first observation ---------------
     # (generalises the reference's frame-0 init, main_obj.cpp:741-750)
@@ -234,6 +249,7 @@ def run_incremental(
     soft_gate_power: float = 1.0,
     window: int | None = None,
     robust_delta: float | None = None,
+    K: jnp.ndarray | None = None,
 ):
     """Run incremental SLAM over all frames.
 
@@ -251,6 +267,8 @@ def run_incremental(
     capacity = capacity or n
     dtype = frames.meas.scale.dtype
     graph = CameraObjectGraph.empty(capacity, n_obj, dtype)
+    if K is not None:
+        graph = graph._replace(K=jnp.asarray(K, dtype))
 
     idxs = jnp.arange(n)
     first_b = SE3(

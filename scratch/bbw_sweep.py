@@ -1,0 +1,18 @@
+"""Full-run online ATE with 2D bbox projection edges of weight w."""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, "/root/repo")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+from cube_slam_wu_tpu.slam.pipeline import run_online_slam
+from cube_slam_wu_tpu.utils import io as uio
+from cube_slam_wu_tpu.utils.metrics import ate_rmse
+
+w = float(sys.argv[1])
+BASE = "/root/reference/object_slam/data/"
+truth = uio.read_number_txt(BASE + "truth_cam_poses.txt")
+r = run_online_slam(BASE, bbox_edge_weight=w)
+est = r.traj_Twc_xyzq[:, :3]
+print(f"RESULT bbw={w} ate={ate_rmse(est, truth[:,1:4]):.4f} aligned={ate_rmse(est, truth[:,1:4], align=True):.4f}", flush=True)

@@ -1,0 +1,20 @@
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, "/root/repo")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+from cube_slam_wu_tpu.slam.pipeline import run_online_slam
+from cube_slam_wu_tpu.utils import io as uio
+from cube_slam_wu_tpu.utils.metrics import ate_rmse, rpe_rmse
+
+w = float(sys.argv[1]); a = float(sys.argv[2])
+dt = jnp.float32 if (len(sys.argv) > 3 and sys.argv[3] == "f32") else None
+BASE = "/root/reference/object_slam/data/"
+truth = uio.read_number_txt(BASE + "truth_cam_poses.txt")
+r = run_online_slam(BASE, bbox_edge_weight=w, soft_gate_alpha=a, dtype=dt)
+est = r.traj_Twc_xyzq[:, :3]
+tag = "f32" if dt is not None else "f64"
+print(f"RESULT w={w} a={a} {tag} ate={ate_rmse(est, truth[:,1:4]):.4f} aligned={ate_rmse(est, truth[:,1:4], align=True):.4f}", flush=True)

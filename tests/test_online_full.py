@@ -1,8 +1,11 @@
-"""Full 58-frame ONLINE run gate (VERDICT round-1 weak item 7: the online
+"""Full 58-frame ONLINE run gates (VERDICT round-1 weak item 7: the online
 e2e previously only covered a 20-frame prefix with a loose bound).
 
-Bound: ours <= 1.1x the reference's committed-output ATE (0.2205 direct).
-Round-1 measured 0.2284 direct / 0.1797 aligned for the full online run.
+Default config (bbox projection edges, weight 0.005 + gate alpha 1.0):
+measured ATE 0.1789 direct / 0.1311 aligned (bit-identical in f32) — the
+gate asserts we BEAT the reference's committed output (0.2205) by >= 10%.
+Reference-parity config (bbox_edge_weight=0, alpha=2): measured 0.2353,
+gated at <= 1.1x the reference.
 """
 
 import numpy as np
@@ -24,10 +27,23 @@ def test_full_online_ate_gate(reference_root):
     result = run_online_slam(BASE)
     ate = ate_rmse(result.traj_Twc_xyzq[:, :3], truth[:, 1:4])
     assert np.isfinite(ate)
-    assert ate <= ate_ref * 1.1, f"online ATE {ate:.4f} vs ref {ate_ref:.4f}"
+    # default config beats the reference by a clear margin (measured 0.1789)
+    assert ate <= ate_ref * 0.9, f"online ATE {ate:.4f} vs ref {ate_ref:.4f}"
     # frontend must have consumed nearly every frame (7 frames have empty
     # detection files in the bundled data)
     rep = result.frontend_report
     assert rep is not None
     assert len(rep.missing_image) == 0
     assert len(rep.empty_detections) <= 8
+
+
+def test_full_online_ate_gate_reference_parity(reference_root):
+    """Reference-semantics mode: 3D cuboid edges only (main_obj.cpp builds
+    no projection edge), gate alpha as in round 1."""
+    truth = uio.read_number_txt(BASE + "truth_cam_poses.txt")
+    ref_out = uio.read_number_txt(BASE + "output_cam_poses.txt")
+    ate_ref = ate_rmse(ref_out[: len(truth), 1:4], truth[:, 1:4])
+    result = run_online_slam(BASE, bbox_edge_weight=0.0, soft_gate_alpha=2.0)
+    ate = ate_rmse(result.traj_Twc_xyzq[:, :3], truth[:, 1:4])
+    assert np.isfinite(ate)
+    assert ate <= ate_ref * 1.1, f"online ATE {ate:.4f} vs ref {ate_ref:.4f}"
