@@ -107,7 +107,11 @@ def cmd_online(args):
     if not pathlib.Path(args.base).is_dir():
         raise SystemExit(f"error: --base {args.base!r} is not a directory")
     result = run_online_slam(
-        args.base, n_frames=args.frames, iterations=args.iterations
+        args.base,
+        n_frames=args.frames,
+        iterations=args.iterations,
+        bbox_edge_weight=args.bbox_edge_weight,
+        window=args.window if args.window and args.window > 0 else None,
     )
     truth = uio.read_number_txt(pathlib.Path(args.base) / "truth_cam_poses.txt")
     n = len(result.timestamps)
@@ -143,6 +147,7 @@ def cmd_kitti(args):
         max_objects=args.max_objects,
         max_detections=args.max_detections,
         window=args.window if args.window and args.window > 0 else None,
+        bbox_edge_weight=args.bbox_edge_weight,
     )
     out_dir = pathlib.Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -310,6 +315,11 @@ def main(argv=None):
     pn.add_argument("--out", default="out")
     pn.add_argument("--frames", type=int, default=None)
     pn.add_argument("--iterations", type=int, default=5)
+    pn.add_argument("--bbox-edge-weight", type=float, default=0.005,
+                    help="2D bbox projection-edge weight (0 = reference-"
+                         "parity: 3D cuboid edges only)")
+    pn.add_argument("--window", type=int, default=0,
+                    help="sliding BA window (0 = full-graph re-optimisation)")
     pn.add_argument(
         "--save-cloud",
         type=int,
@@ -332,6 +342,8 @@ def main(argv=None):
     pk.add_argument("--max-detections", type=int, default=4)
     pk.add_argument("--window", type=int, default=16,
                     help="sliding BA window (0 = full-graph re-optimisation)")
+    pk.add_argument("--bbox-edge-weight", type=float, default=0.0,
+                    help="2D bbox projection-edge weight")
     pk.set_defaults(fn=cmd_kitti)
 
     pl = sub.add_parser("detect-lines", help="line detection on one image")
