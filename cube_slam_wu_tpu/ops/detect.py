@@ -85,7 +85,7 @@ def detect_line_segments(gray: jnp.ndarray, cfg: DetectConfig = DetectConfig()):
     """Detect line segments.
 
     Returns (lines (K, 4) [x1 y1 x2 y2] left-to-right, mask (K,)) with
-    K = n_peaks * runs_per_peak.
+    K = min(max_output, n_peaks * runs_per_peak) (top-K by length).
     """
     dtype = gray.dtype
     H, W = gray.shape
