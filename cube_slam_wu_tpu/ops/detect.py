@@ -54,6 +54,14 @@ class DetectConfig:
     max_merge_iters: int = 400
     max_edge_pixels: int = 32768  # compaction cap for the Hough vote scatter
     max_output: int = 384  # final segment capacity (top-K by length)
+    # Helmholtz NFA validation (optional): keep a run only if its aligned
+    # support is statistically significant against the image's own occupancy
+    # rate — the a-contrario principle of LSD's rect NFA (lsd.cpp:873) and
+    # EDLine's LineValidation_ (binary_descriptor.cpp:2793-2875).  Off by
+    # default: min_inliers already gates weak runs, and the fixture-fitted
+    # defaults are what the online-ATE numbers are pinned to.
+    nfa_validation: bool = False
+    nfa_log10_eps: float = 0.0  # keep if log10(NFA) < this (eps = 1)
 
 
 def gaussian_blur5(gray: jnp.ndarray, sigma: float = 1.0) -> jnp.ndarray:
@@ -254,6 +262,43 @@ def detect_line_segments(gray: jnp.ndarray, cfg: DetectConfig = DetectConfig()):
     )
 
     ok = (counts >= cfg.min_inliers) & pk_valid[:, None] & jnp.isfinite(tmin) & jnp.isfinite(tmax)
+
+    if cfg.nfa_validation:
+        # a-contrario gate (LSD lsd.cpp:873 / EDLine LineValidation_
+        # semantics, re-stated on the run raster): under the null hypothesis
+        # every bin is occupied independently with the image's own global
+        # occupancy rate p0; a run spanning n bins with k occupied is kept
+        # only if  NFA = N_tests * P[B(n, p0) >= k]  is below eps.  The
+        # binomial tail is an exact masked sum over the (small) bin axis —
+        # no early-exit recursion like the reference, just one lgamma batch.
+        from jax.scipy.special import gammaln
+
+        inb_bin = jnp.any(inb, axis=-1)  # (P, NB) bins with any valid sample
+        p0 = jnp.sum(jnp.where(inb_bin, occb, False)) / jnp.maximum(
+            jnp.sum(inb_bin), 1
+        )
+        p0 = jnp.clip(p0.astype(dtype), 1e-6, 1.0 - 1e-6)
+        n_run = jnp.clip(
+            jnp.round((tmax - tmin) / cfg.t_bin).astype(jnp.int32) + 1, 1, NB
+        )  # (P, S) span in bins
+        k_run = jnp.minimum(counts, n_run)
+        js = jnp.arange(NB + 1, dtype=dtype)  # term index
+        nf = n_run.astype(dtype)[..., None]
+        kf = k_run.astype(dtype)[..., None]
+        logterm = (
+            gammaln(nf + 1.0)
+            - gammaln(js + 1.0)
+            - gammaln(nf - js + 1.0)
+            + js * jnp.log(p0)
+            + (nf - js) * jnp.log1p(-p0)
+        )
+        term_ok = (js >= kf) & (js <= nf)
+        tail = jnp.sum(jnp.where(term_ok, jnp.exp(logterm), 0.0), axis=-1)
+        # number of tests: every (start, end) bin pair on every peak line
+        log10_nfa = math.log10(P * NB * NB / 2.0) + jnp.log10(
+            jnp.maximum(tail, 1e-300)
+        )
+        ok = ok & (log10_nfa < cfg.nfa_log10_eps)
     # endpoints: p = anchor + t*(-sin,cos); extend to bin edges
     ex = ex_p[:, None]
     ey = ey_p[:, None]
@@ -332,3 +377,117 @@ def detect_line_segments(gray: jnp.ndarray, cfg: DetectConfig = DetectConfig()):
     lens = jnp.where(merged_mask, line_ops.line_lengths(merged), 0.0)
     _, out_idx = jax.lax.top_k(lens, K)
     return merged[out_idx], merged_mask[out_idx] & (lens[out_idx] > 0)
+
+
+def downsample2(gray: jnp.ndarray) -> jnp.ndarray:
+    """One pyramid level: Gaussian blur then 2x decimation (the reference's
+    per-octave pyramid step, binary_descriptor.cpp:352-372 /
+    LSDDetector.cpp:55-102 with reductionRatio = 2)."""
+    g = gaussian_blur5(gray)
+    return g[::2, ::2]
+
+
+def _clip_segments_to_image(lines: jnp.ndarray, W: int, H: int):
+    """Clip segments to the image rectangle along their own direction (slab
+    intersection); returns (clipped lines, still-nonempty mask)."""
+    a = lines[:, 0:2]
+    d = lines[:, 2:4] - a
+    lo = jnp.asarray([0.0, 0.0], lines.dtype)
+    hi = jnp.asarray([W - 1.0, H - 1.0], lines.dtype)
+    safe_d = jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
+    t0 = (lo - a) / safe_d
+    t1 = (hi - a) / safe_d
+    tmin = jnp.max(jnp.minimum(t0, t1), axis=1)
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=1)
+    tmin_c = jnp.clip(tmin, 0.0, 1.0)
+    tmax_c = jnp.clip(tmax, 0.0, 1.0)
+    p1 = a + tmin_c[:, None] * d
+    p2 = a + tmax_c[:, None] * d
+    ok = tmax_c > tmin_c
+    return jnp.concatenate([p1, p2], axis=1), ok
+
+
+def detect_line_segments_octaves(
+    gray: jnp.ndarray,
+    cfg: DetectConfig = DetectConfig(),
+    n_octaves: int = 1,
+):
+    """Multi-octave detection (numOfOctave_ / Octave_ratio = 2 semantics of
+    the reference wrapper, line_lbd_allclass.cpp:114-127): detect on each
+    pyramid level, scale endpoints back to octave-0 pixels (the wrapper's
+    mat_to_keylines octave scaling, line_lbd_allclass.cpp:70-111), then
+    cross-octave dedupe + merge (OctaveKeyLines analogue,
+    binary_descriptor.cpp:796-1150).
+
+    Both reference drivers run numOfOctave_ = 1 (detect_lines.cpp:59,
+    main_obj.cpp defaults), so this is library-capability parity; coarser
+    octaves add long low-frequency structures the full-res pass fragments.
+
+    Returns (lines (n_octaves * K, 4), mask) in octave-0 coordinates.
+    """
+    per_octave = []
+    img = gray
+    for o in range(n_octaves):
+        lines_o, mask_o = detect_line_segments(img, cfg)
+        scale = float(2**o)
+        # pixel-centre mapping: x_full = scale * x + (scale - 1) / 2
+        lines_o = lines_o * scale + (scale - 1.0) / 2.0
+        if o > 0:
+            # coarse-octave bin-edge extension overshoots by up to
+            # 2^o * t_bin px once scaled back — clip to the image rectangle
+            lines_o, in_img = _clip_segments_to_image(
+                lines_o, gray.shape[1], gray.shape[0]
+            )
+            mask_o = mask_o & in_img
+        per_octave.append((lines_o, mask_o))
+        if o + 1 < n_octaves:
+            img = downsample2(img)
+    if n_octaves == 1:
+        return per_octave[0]
+    # cross-octave dedupe with FINE priority (OctaveKeyLines keeps the
+    # higher-resolution observation of a structure): fine-octave lines pass
+    # through untouched; a coarser line survives only if no finer line is
+    # near-collinear with it and covers most of its extent.  (A full
+    # merge_break_lines across octaves measurably drags fine endpoints
+    # toward the 2^o-quantised coarse ones — recall 0.94 -> 0.86.)
+    lines = jnp.concatenate([l for l, _ in per_octave], axis=0)
+    mask = jnp.concatenate([m for _, m in per_octave], axis=0)
+    K1 = per_octave[0][0].shape[0]
+    oct_id = jnp.concatenate(
+        [jnp.full((l.shape[0],), o) for o, (l, _) in enumerate(per_octave)]
+    )
+    a = lines[:, 0:2]
+    dvec = lines[:, 2:4] - a
+    dlen = jnp.linalg.norm(dvec, axis=-1) + 1e-9
+    dunit = dvec / dlen[:, None]
+    nunit = jnp.stack([-dunit[:, 1], dunit[:, 0]], axis=-1)
+    rel_a = lines[None, :, 0:2] - a[:, None, :]
+    rel_b = lines[None, :, 2:4] - a[:, None, :]
+    perp = jnp.maximum(
+        jnp.abs(jnp.einsum("ijk,ik->ij", rel_a, nunit)),
+        jnp.abs(jnp.einsum("ijk,ik->ij", rel_b, nunit)),
+    )
+    ta = jnp.einsum("ijk,ik->ij", rel_a, dunit) / dlen[:, None]
+    tb = jnp.einsum("ijk,ik->ij", rel_b, dunit) / dlen[:, None]
+    ov = jnp.minimum(jnp.maximum(ta, tb), 1.0) - jnp.maximum(
+        jnp.minimum(ta, tb), 0.0
+    )
+    ang = jnp.arctan2(dvec[:, 1], dvec[:, 0])
+    d_ang = _angle_dist_pi(ang[:, None], ang[None, :])
+    covered_by_finer = (
+        (perp < cfg.merge_dist)
+        & (ov > 0.5)
+        & (d_ang < math.radians(cfg.merge_angle_deg))
+        & (oct_id[None, :] < oct_id[:, None])
+        & mask[None, :]
+    )
+    mask = mask & ~jnp.any(covered_by_finer, axis=1)
+    K = min(cfg.max_output, lines.shape[0])
+    lens = jnp.where(mask, line_ops.line_lengths(lines), 0.0)
+    # octave-0 lines always make the cut (they can never be displaced by a
+    # coarse addition); coarser octaves fill the remaining slots by length
+    BIG = 4.0 * math.hypot(*gray.shape)
+    _, out_idx = jax.lax.top_k(
+        jnp.where(lens > 0, lens + BIG * (oct_id == 0), 0.0), K
+    )
+    return lines[out_idx], mask[out_idx] & (lens[out_idx] > 0)

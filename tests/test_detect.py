@@ -111,3 +111,66 @@ def test_endpoint_stability_under_subpixel_warp(reference_root):
     )
     assert n >= 40, n
     assert drift < 3.0, drift
+
+
+def test_nfa_rejects_noise():
+    """A-contrario gate: on a pure-noise image the NFA-validated detector
+    must report (near-)nothing, while min_inliers alone lets spurious
+    alignments through (the exact failure LSD's NFA exists to prevent,
+    lsd.cpp:873)."""
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, size=(160, 200))
+    base = _detected(img.astype(np.float64))
+    gated = _detected(
+        img.astype(np.float64),
+        DetectConfig(nfa_validation=True),
+    )
+    assert len(gated) <= max(2, len(base) // 4), (len(base), len(gated))
+
+
+def test_nfa_keeps_real_structure(reference_root):
+    """NFA validation must not cost fixture recall: the reference LSD's own
+    long segments stay detected."""
+    base = reference_root / "detect_3d_cuboid/data"
+    gray = uio.load_image_gray(base / "0000_rgb_raw.jpg")
+    ref = uio.read_number_txt(base / "edge_detection/LSD/0000_edge.txt")
+    lines = _detected(gray, DetectConfig(nfa_validation=True))
+    ref_long = ref[np.hypot(ref[:, 2] - ref[:, 0], ref[:, 3] - ref[:, 1]) > 40]
+    hits = sum(any(_match(l, r) for l in lines) for r in ref_long)
+    assert hits / len(ref_long) >= 0.85, hits / len(ref_long)
+
+
+def test_octave_pyramid_recall(reference_root):
+    """2-octave detection (library capability: numOfOctave_ pyramids,
+    binary_descriptor.cpp:352-372): endpoints come back in octave-0
+    coordinates and recall does not regress vs single-octave."""
+    from cube_slam_wu_tpu.ops.detect import detect_line_segments_octaves
+
+    base = reference_root / "detect_3d_cuboid/data"
+    gray = np.asarray(uio.load_image_gray(base / "0000_rgb_raw.jpg"))
+    ref = uio.read_number_txt(base / "edge_detection/LSD/0000_edge.txt")
+    ref_long = ref[np.hypot(ref[:, 2] - ref[:, 0], ref[:, 3] - ref[:, 1]) > 40]
+
+    def recall(lines):
+        return sum(any(_match(l, r) for l in lines) for r in ref_long) / len(
+            ref_long
+        )
+
+    l1, m1 = detect_line_segments_octaves(jnp.asarray(gray), n_octaves=1)
+    l2, m2 = detect_line_segments_octaves(jnp.asarray(gray), n_octaves=2)
+    one = np.asarray(l1)[np.asarray(m1)]
+    two = np.asarray(l2)[np.asarray(m2)]
+    H, W = gray.shape
+    assert (two[:, [0, 2]] < W + 2).all() and (two[:, [1, 3]] < H + 2).all()
+    assert recall(two) >= recall(one) - 1e-9, (recall(one), recall(two))
+
+
+def test_octave_single_equals_base():
+    from cube_slam_wu_tpu.ops.detect import detect_line_segments_octaves
+
+    img = np.full((120, 160), 40.0)
+    img[30:90, 40:120] = 200.0
+    l0, m0 = detect_line_segments(jnp.asarray(img))
+    l1, m1 = detect_line_segments_octaves(jnp.asarray(img), n_octaves=1)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
