@@ -381,12 +381,17 @@ def _edge_dist_score(
     weights = _W_CFG1 if (config_id == 1 or not reweight) else _W_CFG2
     if config_id == 2 and not reweight:
         weights = (1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.0, 0.0)
+    if config_id == 2:
+        # config 2 has 7 visible edges; slots 8-9 are (0,0) padding at zero
+        # weight — dropping them statically removes 2/9 of the gathers
+        edges = edges[:7]
+        weights = weights[:7]
     h, wimg = dist_map.shape[-2:]
     frac = jnp.linspace(0.0, 1.0, 11).astype(cx.dtype)  # (11,)
     ia = jnp.asarray([e[0] for e in edges])
     ib = jnp.asarray([e[1] for e in edges])
     w = jnp.asarray(weights, dtype=cx.dtype)
-    ax, ay = cx[ia], cy[ia]  # (9, H)
+    ax, ay = cx[ia], cy[ia]  # (E, H)
     bx, by = cx[ib], cy[ib]
     # sample_pt = frac*a + (1-frac)*b  (reference orders from corner2 to 1)
     px = frac[None, :, None] * ax[:, None, :] + (1.0 - frac[None, :, None]) * bx[:, None, :]
@@ -401,20 +406,44 @@ def _edge_dist_score(
         fy = jnp.clip(py - y0, 0.0, 1.0)
         xi = x0.astype(jnp.int32)
         yi = y0.astype(jnp.int32)
-        xi1 = jnp.minimum(xi + 1, wimg - 1)
         yi1 = jnp.minimum(yi + 1, h - 1)
         row = yi * wimg
         row1 = yi1 * wimg
-        d = (
-            jnp.take(flat, row + xi) * (1 - fx) * (1 - fy)
-            + jnp.take(flat, row + xi1) * fx * (1 - fy)
-            + jnp.take(flat, row1 + xi) * (1 - fx) * fy
-            + jnp.take(flat, row1 + xi1) * fx * fy
-        )
+        # TPU gathers are rate-bound per ELEMENT (~10 ns each, regardless of
+        # width — scratch/gather_bench.log), so halve the element count by
+        # bit-packing each pixel's horizontal tap pair (D[y,x], D[y,x+1]) as
+        # two f16 in one uint32: one take yields both x-taps of a row.
+        # f16 rounding of the distance map (<= 0.25 px at the ROI diagonal,
+        # ~0.01 px near edges where scores are decided) is deterministic and
+        # identical across f32/f64 pipelines, so rank_margin still holds.
+        lo16 = jax.lax.bitcast_convert_type(
+            dist_map.astype(jnp.float16), jnp.uint16
+        ).astype(jnp.uint32)
+        right = jnp.concatenate([dist_map[:, 1:], dist_map[:, -1:]], axis=1)
+        hi16 = jax.lax.bitcast_convert_type(
+            right.astype(jnp.float16), jnp.uint16
+        ).astype(jnp.uint32)
+        packed = (lo16 | (hi16 << 16)).reshape(-1)
+
+        def taps(idx):
+            v = jnp.take(packed, idx)
+            d0 = jax.lax.bitcast_convert_type(
+                (v & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.float16
+            ).astype(cx.dtype)
+            d1 = jax.lax.bitcast_convert_type(
+                (v >> jnp.uint32(16)).astype(jnp.uint16), jnp.float16
+            ).astype(cx.dtype)
+            return d0, d1
+
+        d00, d01 = taps(row + xi)
+        d10, d11 = taps(row1 + xi)
+        d = (d00 * (1 - fx) + d01 * fx) * (1 - fy) + (
+            d10 * (1 - fx) + d11 * fx
+        ) * fy
     else:
         xi = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, wimg - 1)
         yi = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, h - 1)
-        d = jnp.take(flat, yi * wimg + xi)  # (9, 11, H)
+        d = jnp.take(flat, yi * wimg + xi)  # (E, 11, H)
     return jnp.einsum("e,esh->h", w, d)
 
 
