@@ -109,15 +109,16 @@ class ProposalConfig:
     # the corner-chain guards is exact — and the per-element gather is the
     # proposal grid's dominant TPU cost (scratch/stage_ablate.log: 23 ms ->
     # 1.3 ms without it) while only ~20-26% of hypotheses are valid on the
-    # bundled sequences (scratch/valid_frac.py: max 3832/9600 config-1 and
-    # 904/9600 config-2 per block).  The cap is static: per config block,
-    # the cap hypotheses with valid flags (ordered valid-first,
-    # index-stable) are gathered; in the measured-impossible event that
-    # MORE than the cap are valid, the overflow hypotheses are dropped
-    # (valid=False).  0 disables.  Config 2's tighter corner-chain guards
-    # (fewer corners inside the box) justify its smaller cap.
-    dist_gather_cap: int = 5120
-    dist_gather_cap2: int = 2048
+    # bundled sequences (scratch/valid_counts.py over the full 58-frame
+    # online run: max 3883 config-1 and 1163 config-2).  The cap is static:
+    # per config block, the cap best hypotheses — valid first, then by the
+    # already-computed (gather-free) VP-alignment angle score — are
+    # gathered; if MORE than the cap are valid, the overflow drops the
+    # highest-angle-error ones (the least likely winners) as invalid.
+    # 0 disables.  Config 2's tighter corner-chain guards (fewer corners
+    # inside the box) justify its smaller cap.
+    dist_gather_cap: int = 4608
+    dist_gather_cap2: int = 1536
 
     @property
     def rp_count(self) -> int:
@@ -821,11 +822,14 @@ def hypothesis_grid(
             )
             if 0 < cap < Hc:
                 # gather the chamfer samples only for VALID hypotheses
-                # (exact: fusion/ranking mask invalid dists with +inf; see
-                # ProposalConfig.dist_gather_cap)
+                # (exact while n_valid <= cap: fusion/ranking mask invalid
+                # dists with +inf; see ProposalConfig.dist_gather_cap).
+                # Sort key: invalid last, then ascending angle error, so a
+                # binding cap sheds the least-promising hypotheses first.
                 Kc = cap
+                amax = jnp.max(jnp.abs(angle)) + 1.0
                 order = jnp.argsort(
-                    (~valid).astype(jnp.int8), stable=True
+                    jnp.where(valid, angle, amax), stable=True
                 )[:Kc]
                 distc = _edge_dist_score(
                     dist_map, cx[:, order], cy[:, order], config_id,
