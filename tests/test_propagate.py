@@ -7,6 +7,7 @@ the fixed frames."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cube_slam_wu_tpu.core.cuboid import Cuboid
 from cube_slam_wu_tpu.core.se3 import SE3
@@ -130,6 +131,7 @@ def test_unreached_vertices_keep_estimates():
     assert np.isinf(np.asarray(res.cube_dist)).all()
 
 
+@pytest.mark.slow
 def test_propagate_then_optimize_beats_cold_start():
     """Batch LM from identity init on a long noisy chain stalls far from the
     truth; propagation first gives the optimizer a basin it converges in
@@ -155,7 +157,7 @@ def test_propagate_then_optimize_beats_cold_start():
     assert rmse(warm.cam_Tcw) < rmse(cold.cam_Tcw) * 0.5
 
 
-@__import__("pytest").mark.slow
+@pytest.mark.slow
 def test_batch_mode_on_real_data_matches_incremental(reference_root):
     """Real 58-frame TUM graph: blank every estimate except frame 0,
     propagate along the odometry spanning tree, batch-solve — must land in

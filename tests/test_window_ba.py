@@ -86,6 +86,7 @@ def _synthetic_frames(N, O, seed=0):
     return frames, first, truth_pos, cubes_gt
 
 
+@pytest.mark.slow
 def test_long_sequence_windowed_accuracy():
     """300-frame, 4-object synthetic run with W=12: per-frame cost is O(W)
     (a full-graph scan would be a 300x larger system each frame) and the
@@ -102,6 +103,7 @@ def test_long_sequence_windowed_accuracy():
     assert np.isfinite(np.asarray(chi2s)).all()
 
 
+@pytest.mark.slow
 def test_prior_absorption_retains_landmark():
     """An object whose observations all leave the window keeps its estimate
     pinned by the absorbed prior (it must not drift back toward init)."""
