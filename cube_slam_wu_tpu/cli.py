@@ -148,6 +148,8 @@ def cmd_kitti(args):
         max_detections=args.max_detections,
         window=args.window if args.window and args.window > 0 else None,
         bbox_edge_weight=args.bbox_edge_weight,
+        checkpoint_path=args.checkpoint or None,
+        checkpoint_every=args.checkpoint_every,
     )
     out_dir = pathlib.Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -344,6 +346,10 @@ def main(argv=None):
                     help="sliding BA window (0 = full-graph re-optimisation)")
     pk.add_argument("--bbox-edge-weight", type=float, default=0.0,
                     help="2D bbox projection-edge weight")
+    pk.add_argument("--checkpoint", default="",
+                    help="front-end checkpoint npz: saved every "
+                         "--checkpoint-every frames, resumed if it exists")
+    pk.add_argument("--checkpoint-every", type=int, default=25)
     pk.set_defaults(fn=cmd_kitti)
 
     pl = sub.add_parser("detect-lines", help="line detection on one image")

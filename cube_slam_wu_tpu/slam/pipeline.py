@@ -112,10 +112,21 @@ def run_online_frontend(
     canonicalize_yaw: bool = True,
     line_track_weight: float = 0.0,
     line_track_gate: float = 80.0,
+    checkpoint_path=None,
+    checkpoint_every: int = 25,
 ):
     """Multi-object online front-end: per frame, line detection -> batched
     cuboid proposals for every 2D detection -> IoU tracklet association into
     fixed object slots.  Returns (FrameInput with (N, O) axes, FrontendReport).
+
+    `checkpoint_path` enables elastic resume for long (KITTI-length) runs:
+    every `checkpoint_every` frames the accumulated measurements + tracklet
+    state are saved (slam.checkpoint npz); an existing file resumes the loop
+    at the first unprocessed frame (the reference's crash story is "rerun
+    from scratch", SURVEY.md section 5.3).  Line-track descriptor state is
+    not checkpointed: after a resume the first frame simply has no
+    frame-to-frame match info (one-frame quality detail, only when
+    line_track_weight > 0).
 
     `frame_specs` is a list of (image_path, detections_path) per frame.
     Mirrors the reference online branch (main_obj.cpp:585-679) but
@@ -180,7 +191,63 @@ def run_online_frontend(
     prev_lines32 = prev_lmask = prev_desc = None
     line_matched = mids32 = None
 
+    start_frame = 0
+    if checkpoint_path is not None:
+        from cube_slam_wu_tpu.slam import checkpoint as ckpt
+
+        def _ckpt_state():
+            return dict(
+                i_next=np.asarray(start_frame),
+                meas9=meas9, quality=quality, has=has, bbox2d=bbox2d,
+                track_bbox=track_bbox, track_alive=track_alive,
+                track_yaw=track_yaw,
+                missing_image=np.asarray(report.missing_image, np.int64),
+                missing_detections=np.asarray(
+                    report.missing_detections, np.int64
+                ),
+                empty_detections=np.asarray(
+                    report.empty_detections, np.int64
+                ),
+                no_valid_proposal=np.asarray(
+                    report.no_valid_proposal, np.int64
+                ),
+                dropped=np.asarray(report.dropped_detections),
+            )
+
+        cp = pathlib.Path(checkpoint_path)
+        if cp.exists():
+            data = np.load(cp)
+            # prefix copy: an interrupted run may have been saved with a
+            # shorter frame list than this resume (or vice versa)
+            m = min(n, data["meas9"].shape[0])
+            start_frame = min(int(data["i_next"]), n)
+            meas9[:m] = data["meas9"][:m]
+            quality[:m] = data["quality"][:m]
+            has[:m] = data["has"][:m]
+            bbox2d[:m] = data["bbox2d"][:m]
+            track_bbox[:] = data["track_bbox"]
+            track_alive[:] = data["track_alive"]
+            track_yaw[:] = data["track_yaw"]
+            report = FrontendReport(
+                n,
+                list(data["missing_image"]),
+                list(data["missing_detections"]),
+                list(data["empty_detections"]),
+                list(data["no_valid_proposal"]),
+                int(data["dropped"]),
+            )
+
     for i, (img_path, det_path) in enumerate(frame_specs):
+        if i < start_frame:
+            continue
+        if (
+            checkpoint_path is not None
+            and i > start_frame
+            and (i - start_frame) % max(checkpoint_every, 1) == 0
+        ):
+            state = _ckpt_state()
+            state["i_next"] = np.asarray(i)
+            ckpt.save_pytree(checkpoint_path, state)
         img_path = pathlib.Path(img_path)
         det_path = pathlib.Path(det_path)
         if not img_path.exists():
@@ -361,6 +428,11 @@ def run_online_frontend(
             ]
             has[i, o] = True
 
+    if checkpoint_path is not None:
+        state = _ckpt_state()
+        state["i_next"] = np.asarray(n)
+        ckpt.save_pytree(checkpoint_path, state)
+
     frames = tracker.FrameInput(
         meas=Cuboid.from_minimal(jnp.asarray(meas9, dtype)),
         quality=jnp.asarray(quality, dtype),
@@ -487,6 +559,8 @@ def run_kitti_slam(
     window: int | None = None,
     robust_delta: float | None = None,
     bbox_edge_weight: float = 0.0,
+    checkpoint_path=None,
+    checkpoint_every: int = 25,
 ):
     """Multi-object online SLAM over a KITTI-odometry-layout sequence
     (BASELINE config 5; the reference's capability class per its paper,
@@ -529,6 +603,8 @@ def run_kitti_slam(
         max_objects=max_objects,
         max_detections=max_detections,
         min_iou=min_iou,
+        checkpoint_path=checkpoint_path,
+        checkpoint_every=checkpoint_every,
     )
     if bbox_edge_weight > 0.0:
         frames = frames._replace(

@@ -34,3 +34,59 @@ def test_missing_leaf_rejected(tmp_path):
     checkpoint.save_pytree(p, {"a": jnp.ones(3)})
     with pytest.raises(KeyError):
         checkpoint.load_pytree(p, {"a": jnp.ones(3), "b": jnp.ones(2)})
+
+
+def test_frontend_checkpoint_resume(tmp_path):
+    """Elastic resume of the online front-end (SURVEY 5.3/5.4: the
+    reference's crash story is rerun-from-scratch): interrupt after a
+    checkpoint, resume from the file, and require results identical to an
+    uninterrupted run."""
+    import numpy as np
+
+    from cube_slam_wu_tpu.core.se3 import SE3
+    from cube_slam_wu_tpu.slam import pipeline
+    from cube_slam_wu_tpu.utils import synth
+
+    seq = synth.make_sequence(n_frames=8, n_objects=2, size=(240, 320),
+                              speed=0.35, noise_px=0.5)
+    out, det_dir, _ = synth.write_kitti_sequence(seq, tmp_path / "seq")
+    specs = [
+        (out / "image_0" / f"{i:06d}.png", det_dir / f"{i:06d}.txt")
+        for i in range(8)
+    ]
+    T0 = jnp.asarray(seq.T_wc[0])
+    first = SE3.from_rot_trans(T0[:3, :3], T0[:3, 3])
+    kw = dict(max_objects=3, max_detections=3)
+
+    ref_frames, ref_rep = pipeline.run_online_frontend(
+        specs, seq.K, first, jnp.float64, **kw
+    )
+
+    ck = tmp_path / "fe.npz"
+    # "interrupted" run: process only the first 5 frames, checkpointing
+    # every 2 -> file holds state through frame 4
+    pipeline.run_online_frontend(
+        specs[:5], seq.K, first, jnp.float64,
+        checkpoint_path=ck, checkpoint_every=2, **kw
+    )
+    assert ck.exists()
+    # fix up i_next: the completed 5-frame run saved i_next=5 for n=5;
+    # resuming the 8-frame run continues at frame 5
+    frames, rep = pipeline.run_online_frontend(
+        specs, seq.K, first, jnp.float64,
+        checkpoint_path=ck, checkpoint_every=2, **kw
+    )
+    np.testing.assert_array_equal(
+        np.asarray(frames.has_meas), np.asarray(ref_frames.has_meas)
+    )
+    np.testing.assert_allclose(
+        np.asarray(frames.meas.to_minimal()),
+        np.asarray(ref_frames.meas.to_minimal()),
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(frames.quality), np.asarray(ref_frames.quality), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(frames.bbox), np.asarray(ref_frames.bbox), atol=1e-12
+    )
