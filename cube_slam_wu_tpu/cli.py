@@ -148,6 +148,12 @@ def cmd_kitti(args):
         max_detections=args.max_detections,
         window=args.window if args.window and args.window > 0 else None,
         bbox_edge_weight=args.bbox_edge_weight,
+        track_max_age=args.track_max_age if args.track_max_age > 0 else None,
+        depth_gate_m=args.depth_gate if args.depth_gate > 0 else None,
+        spawn_range_m=args.spawn_range if args.spawn_range > 0 else None,
+        min_meas=args.min_meas,
+        range_weight_m=args.range_weight if args.range_weight > 0 else None,
+        pose_feedback=args.pose_feedback,
         checkpoint_path=args.checkpoint or None,
         checkpoint_every=args.checkpoint_every,
     )
@@ -346,6 +352,24 @@ def main(argv=None):
                     help="sliding BA window (0 = full-graph re-optimisation)")
     pk.add_argument("--bbox-edge-weight", type=float, default=0.0,
                     help="2D bbox projection-edge weight")
+    pk.add_argument("--track-max-age", type=int, default=12,
+                    help="retire a track after this many frames without an "
+                         "association (0 = never)")
+    pk.add_argument("--depth-gate", type=float, default=2.5,
+                    help="drop IoU matches whose camera-relative range jumps "
+                         "more than this many metres (0 = off)")
+    pk.add_argument("--spawn-range", type=float, default=25.0,
+                    help="do not spawn landmarks beyond this range in metres "
+                         "(0 = off)")
+    pk.add_argument("--min-meas", type=int, default=2,
+                    help="report a landmark only after this many accepted "
+                         "measurements")
+    pk.add_argument("--range-weight", type=float, default=0.0,
+                    help="scale measurement weight by (R/range)^2 beyond "
+                         "this range R in metres (0 = off)")
+    pk.add_argument("--pose-feedback", action="store_true",
+                    help="interleave front/back-end: run each frame's "
+                         "proposal grid at the tracker's predicted pose")
     pk.add_argument("--checkpoint", default="",
                     help="front-end checkpoint npz: saved every "
                          "--checkpoint-every frames, resumed if it exists")

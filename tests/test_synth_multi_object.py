@@ -86,6 +86,105 @@ def test_multi_object_online_e2e(tmp_path):
 
 
 @pytest.mark.slow
+def test_spawn_range_gate(tmp_path):
+    """A detection whose lifted range exceeds spawn_range_m must not seed a
+    landmark (far monocular lifts are unreliable: a sub-pixel bbox error at
+    36 m audits to a 21 m landmark error), and the skip must be reported."""
+    import jax.numpy as jnp
+
+    from cube_slam_wu_tpu.core.se3 import SE3
+    from cube_slam_wu_tpu.slam import pipeline
+
+    objects = [
+        synth.SynthObject(
+            np.array([-1.5, 5.5, 0.45]), 1.7, np.array([0.7, 0.45, 0.45])
+        ),
+        # far object, scaled up so its box is still detectable
+        synth.SynthObject(
+            np.array([1.8, 12.0, 0.9]), 0.3, np.array([1.3, 0.8, 0.9])
+        ),
+    ]
+    seq = synth.make_sequence(
+        n_frames=6, size=(240, 320), speed=0.35, noise_px=0.3, objects=objects
+    )
+    out, det_dir, poses_path = synth.write_kitti_sequence(seq, tmp_path / "seq")
+    specs = [
+        (out / "image_0" / f"{i:06d}.png", det_dir / f"{i:06d}.txt")
+        for i in range(6)
+    ]
+    T0 = jnp.asarray(seq.T_wc[0])
+    first = SE3.from_rot_trans(T0[:3, :3], T0[:3, 3])
+    frames, report = pipeline.run_online_frontend(
+        specs, seq.K, first, jnp.float64, max_objects=3, max_detections=3,
+        spawn_range_m=8.0,
+    )
+    has = np.asarray(frames.has_meas)
+    assert has[:, 0].sum() >= 4  # near object tracked normally
+    assert has[:, 1:].sum() == 0  # far object never seeded a landmark
+    assert report.far_spawns >= 1  # and the skip was surfaced
+
+
+@pytest.mark.slow
+def test_track_max_age_retirement(tmp_path):
+    """A track whose object left the view must retire after track_max_age
+    frames: a NEW object appearing near the stale box position must spawn a
+    fresh landmark, not contaminate the old one (and retired slots must not
+    be reused).  With retirement off, the entrant is captured by the stale
+    track — the cross-contamination the gate exists to prevent."""
+    import jax.numpy as jnp
+
+    from cube_slam_wu_tpu.core.se3 import SE3
+    from cube_slam_wu_tpu.slam import pipeline
+
+    H, W = 240, 320
+    K = np.array(
+        [[0.75 * W, 0, W / 2.0], [0, 0.75 * W, H / 2.0 - 0.05 * H], [0, 0, 1.0]]
+    )
+    A = synth.SynthObject(
+        np.array([-1.5, 5.5, 0.45]), 1.7, np.array([0.7, 0.45, 0.45])
+    )
+    B = synth.SynthObject(
+        np.array([-1.3, 6.0, 0.5]), 0.3, np.array([0.8, 0.5, 0.5])
+    )
+    rng = np.random.default_rng(0)
+    T = synth.camera_pose(0.0)
+    per_frame = [[A]] * 3 + [[]] * 6 + [[B]] * 3  # A exits; B enters later
+    images = [synth.render_frame(T, objs, K, (H, W)) for objs in per_frame]
+    detections = [
+        synth.detect_objects(T, objs, K, (H, W), noise_px=0.3, rng=rng)
+        for objs in per_frame
+    ]
+    seq = synth.SynthSequence(
+        K, np.stack([T] * 12), images, detections, [A, B],
+        np.arange(12) * 0.1,
+    )
+    out, det_dir, poses_path = synth.write_kitti_sequence(seq, tmp_path / "seq")
+    specs = [
+        (out / "image_0" / f"{i:06d}.png", det_dir / f"{i:06d}.txt")
+        for i in range(12)
+    ]
+    first = SE3.from_rot_trans(jnp.asarray(T[:3, :3]), jnp.asarray(T[:3, 3]))
+
+    frames, _ = pipeline.run_online_frontend(
+        specs, K, first, jnp.float64, max_objects=3, max_detections=2,
+        track_max_age=4,
+    )
+    has = np.asarray(frames.has_meas)
+    assert np.nonzero(has[:, 0])[0].max() <= 2  # A's track ends with A
+    assert has[9:, 1].sum() >= 2  # B spawned a fresh slot
+
+    frames, _ = pipeline.run_online_frontend(
+        specs, K, first, jnp.float64, max_objects=3, max_detections=2,
+        track_max_age=None,
+    )
+    has = np.asarray(frames.has_meas)
+    # without retirement the stale track captures the entrant (documented
+    # failure mode this gate prevents)
+    assert has[9:, 0].sum() >= 2
+    assert has[:, 1:].sum() == 0
+
+
+@pytest.mark.slow
 def test_kitti_driver_e2e(tmp_path):
     """run_kitti_slam over a written KITTI-layout synthetic sequence with the
     windowed back-end: finite trajectory, bounded ATE, multiple landmarks."""
@@ -107,4 +206,32 @@ def test_kitti_driver_e2e(tmp_path):
     assert np.isfinite(result.traj_Twc_xyzq).all()
     ate = ate_rmse(result.traj_Twc_xyzq[:, :3], seq.T_wc[:16, :3, 3])
     assert ate < 0.5, f"synthetic KITTI ATE {ate:.3f}"
+    assert np.asarray(result.cube_valid).sum() >= 2
+
+
+@pytest.mark.slow
+def test_kitti_pose_feedback_mode(tmp_path):
+    """The interleaved front-end/back-end driver (pose_feedback=True: each
+    frame's proposal grid anchored at the tracker's constant-velocity
+    predicted pose, with the 3D association gate) must run end-to-end with
+    comparable accuracy to the two-phase schedule."""
+    from cube_slam_wu_tpu.slam import pipeline
+    from cube_slam_wu_tpu.utils.metrics import ate_rmse
+
+    seq = synth.make_sequence(
+        n_frames=16, n_objects=3, size=(240, 320), speed=0.35, noise_px=0.5
+    )
+    out, det_dir, poses_path = synth.write_kitti_sequence(seq, tmp_path / "seq")
+    result = pipeline.run_kitti_slam(
+        out,
+        det_dir,
+        poses_path,
+        max_objects=4,
+        max_detections=3,
+        window=8,
+        pose_feedback=True,
+    )
+    assert np.isfinite(result.traj_Twc_xyzq).all()
+    ate = ate_rmse(result.traj_Twc_xyzq[:, :3], seq.T_wc[:16, :3, 3])
+    assert ate < 0.5, f"pose-feedback KITTI ATE {ate:.3f}"
     assert np.asarray(result.cube_valid).sum() >= 2
