@@ -150,7 +150,11 @@ def cmd_kitti(args):
         bbox_edge_weight=args.bbox_edge_weight,
         track_max_age=args.track_max_age if args.track_max_age > 0 else None,
         depth_gate_m=args.depth_gate if args.depth_gate > 0 else None,
-        spawn_range_m=args.spawn_range if args.spawn_range > 0 else None,
+        spawn_range_m=(
+            "auto"
+            if args.spawn_range < 0
+            else (args.spawn_range if args.spawn_range > 0 else None)
+        ),
         min_meas=args.min_meas,
         range_weight_m=args.range_weight if args.range_weight > 0 else None,
         pose_feedback=args.pose_feedback,
@@ -358,9 +362,11 @@ def main(argv=None):
     pk.add_argument("--depth-gate", type=float, default=2.5,
                     help="drop IoU matches whose camera-relative range jumps "
                          "more than this many metres (0 = off)")
-    pk.add_argument("--spawn-range", type=float, default=25.0,
+    pk.add_argument("--spawn-range", type=float, default=-1.0,
                     help="do not spawn landmarks beyond this range in metres "
-                         "(0 = off)")
+                         "(0 = off, negative = auto from intrinsics: the "
+                         "range where 1 px of bbox error lifts to 0.6 m of "
+                         "depth)")
     pk.add_argument("--min-meas", type=int, default=2,
                     help="report a landmark only after this many accepted "
                          "measurements")

@@ -654,7 +654,7 @@ def run_kitti_slam(
     checkpoint_every: int = 25,
     track_max_age: int | None = 12,
     depth_gate_m: float | None = 2.5,
-    spawn_range_m: float | None = 25.0,
+    spawn_range_m="auto",
     min_meas: int = 2,
     range_weight_m: float | None = None,
     pose_feedback: bool = False,
@@ -692,6 +692,21 @@ def run_kitti_slam(
     n = n_avail if n_frames is None else min(n_frames, n_avail)
     if n == 0:
         raise ValueError(f"no images under {seq_dir}/image_0")
+    if isinstance(spawn_range_m, str):  # "auto"
+        # Gate on monocular DEPTH SENSITIVITY rather than a fixed range:
+        # one pixel of bbox-bottom error lifts to ~r^2/(f*h_cam) metres of
+        # depth error, so the range at which landmark seeding becomes
+        # unreliable scales with sqrt(f*h_cam).  0.6 m/px is the measured
+        # sweet spot (300-frame synthetic sweep, f=240/h=1.65: 10 m too
+        # tight -> drift, 25 m too loose -> 7-8 m wild landmarks, ~15 m
+        # best = 0.59 m/px; real KITTI f~718/h=1.65 lands at ~27 m).
+        h_cam = (
+            float(abs(seq.poses_T_wc[0][2, 3]))
+            if seq.poses_T_wc is not None
+            else ukitti.CAMERA_HEIGHT_M
+        )
+        h_cam = max(h_cam, 0.5)
+        spawn_range_m = float(np.sqrt(0.6 * seq.K[0, 0] * h_cam))
     if pose_feedback:
         return _run_kitti_tracked(
             seq, n, dtype,

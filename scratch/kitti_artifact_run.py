@@ -47,9 +47,10 @@ layout, run via slam.pipeline.run_kitti_slam — the same code path as
 - frames: {N}, objects in world: 6, detector dropout 5%, bbox noise 0.8 px
 - back-end: fixed-lag window = 16 (O(W) per frame at any sequence length)
 - association gates (driver defaults): track_max_age=12, depth_gate_m=2.5,
-  spawn_range_m=25, min_meas=2 — without them, 2D-IoU-only tracking builds
-  chimera tracks on forward drives (this exact run measured ATE 12.4 m with
-  21-34 m landmark errors before the gates)
+  spawn_range_m=auto (= sqrt(0.6 * f * h_cam) = 15.4 m at this camera),
+  min_meas=2 — without them, 2D-IoU-only tracking builds chimera tracks on
+  forward drives (this exact run measured ATE 12.4 m with 21-34 m landmark
+  errors before the gates)
 - ATE RMSE vs ground truth: **{ate:.4f} m** over a {seq.T_wc[:N,:3,3][-1][1]:.0f} m forward run
 - landmarks spawned: {int(valid.sum())} / 6 (position error to nearest gt: {", ".join(f"{e:.2f}" for e in errs)} m)
 - wall clock (CPU f64, incl. compile): {wall:.0f} s
