@@ -100,6 +100,115 @@ class FrontendReport(NamedTuple):
         )
 
 
+class _TrackletBook:
+    """Host-side tracklet slots shared by the online drivers (the two-phase
+    `run_online_frontend` and the interleaved `_run_kitti_tracked`):
+    per-slot last-box / liveness / association bookkeeping.  Association
+    *policy* (IoU matching, depth gates, spawn gates) stays in the drivers;
+    this holds the state transitions they share.  Slots are never reused
+    once retired — a retired slot's landmark estimate belongs to the old
+    object."""
+
+    _KEYS = (
+        "track_bbox", "track_alive", "track_used", "track_last",
+        "track_range", "track_yaw", "meas_count",
+    )
+
+    def __init__(self, n_slots: int):
+        self.bbox = np.zeros((n_slots, 4))  # last associated box (corners)
+        self.alive = np.zeros(n_slots, bool)  # currently matchable
+        self.used = np.zeros(n_slots, bool)  # ever spawned
+        self.last = np.full(n_slots, -1)  # frame of last association
+        self.range = np.full(n_slots, -1.0)  # last camera-relative range
+        self.yaw = np.full(n_slots, np.nan)  # last accepted yaw (prior)
+        self.count = np.zeros(n_slots, np.int64)  # accepted measurements
+
+    def _arrays(self):
+        return (self.bbox, self.alive, self.used, self.last, self.range,
+                self.yaw, self.count)
+
+    def retire_stale(self, i: int, max_age: int | None) -> None:
+        """Stop matching tracks not associated for > max_age frames (a
+        stale box left where an object exited otherwise captures the next
+        object entering near that image position)."""
+        if max_age is not None:
+            self.alive[self.alive & (i - self.last > max_age)] = False
+
+    def spawn(self) -> int | None:
+        """Claim the first never-used slot; None when all are taken."""
+        free = np.nonzero(~self.used)[0]
+        if free.size == 0:
+            return None
+        o = int(free[0])
+        self.alive[o] = True
+        self.used[o] = True
+        return o
+
+    def accept(self, o: int, i: int, box, rng: float, yaw: float) -> None:
+        self.bbox[o] = box
+        self.last[o] = i
+        self.range[o] = rng
+        self.yaw[o] = yaw
+        self.count[o] += 1
+
+    def state(self) -> dict:
+        return dict(zip(self._KEYS, self._arrays()))
+
+    def load_state(self, data) -> None:
+        for key, arr in zip(self._KEYS, self._arrays()):
+            if key in data:  # older checkpoints lack some keys
+                arr[:] = data[key]
+
+
+def _proposal_measurement(
+    res, d: int, roll, pitch, yaw, cam_t, dtype, canonicalize_yaw=True
+):
+    """Ground-frame proposal row `d` -> (camera-frame 9-DoF measurement,
+    fit quality, camera-relative range).  Mirrors the reference's
+    measurement assembly (main_obj.cpp:649-675; quality :732); shared by
+    both online drivers.
+
+    Canonicalizes the front face: rotates yaw by the multiple of 90 deg
+    that brings it nearest the facing-the-camera init (camera_yaw - 90,
+    box_proposal_detail.cpp:180), swapping l/w on odd multiples.
+    Equivalent for every downstream consumer (the cuboid edge
+    disambiguates with min_log_error, g2o_Object.h:76-101) but makes the
+    measurement invariant to which of the 4 equivalent front-face
+    labelings the f32/f64 grids pick.  The camera pose used for the
+    transform carries the proposal's sampled roll/pitch deltas
+    (main_obj.cpp:667-675)."""
+    from cube_slam_wu_tpu.core import rotations as rotu
+
+    yaw_init = yaw - np.pi / 2
+    k = (
+        int(np.round((float(res.rotY[d]) - yaw_init) / (np.pi / 2)))
+        if canonicalize_yaw
+        else 0
+    )
+    yaw_c = float(res.rotY[d]) - k * (np.pi / 2)
+    sl, sw = (
+        (float(res.scale[d][1]), float(res.scale[d][0]))
+        if k % 2
+        else (float(res.scale[d][0]), float(res.scale[d][1]))
+    )
+    cube_ground = Cuboid.from_minimal(
+        jnp.asarray(
+            [*res.pos[d], 0.0, 0.0, yaw_c, sl, sw, float(res.scale[d][2])],
+            dtype,
+        )
+    )
+    R_new = rotu.euler_zyx_to_rot(
+        jnp.asarray(roll + float(res.camera_roll_delta[d]), dtype),
+        jnp.asarray(pitch + float(res.camera_pitch_delta[d]), dtype),
+        jnp.asarray(yaw, dtype),
+    )
+    pose_used = SE3.from_rot_trans(R_new, jnp.asarray(cam_t, dtype))
+    local = cube_ground.transform_to(pose_used)
+    quality = (1.0 - float(res.normalized_error[d]) + 0.5) / 2.0
+    rng = float(np.linalg.norm(np.asarray(res.pos[d]) - np.asarray(cam_t)))
+    return np.asarray(local.to_minimal()), quality, rng
+
+
 def run_online_frontend(
     frame_specs,
     K_np: np.ndarray,
@@ -226,12 +335,7 @@ def run_online_frontend(
     quality = np.zeros((n, O))
     has = np.zeros((n, O), bool)
     bbox2d = np.zeros((n, O, 4))  # associated YOLO box as [cx, cy, w, h]
-    track_bbox = np.zeros((O, 4))  # last associated detection, corner form
-    track_alive = np.zeros(O, bool)  # currently matchable
-    track_used = np.zeros(O, bool)  # ever spawned (slots are never reused)
-    track_last = np.full(O, -1)  # frame of last association
-    track_range = np.full(O, -1.0)  # last camera-relative range (depth gate)
-    track_yaw = np.full(O, np.nan)  # last accepted yaw per track (prior)
+    book = _TrackletBook(O)
     report = FrontendReport(n, [], [], [], [], 0)
     # line-track consistency state (VERDICT round-1 item 7): LBD float
     # descriptors of the previous frame's lines, matched frame-to-frame to
@@ -249,9 +353,7 @@ def run_online_frontend(
             return dict(
                 i_next=np.asarray(start_frame),
                 meas9=meas9, quality=quality, has=has, bbox2d=bbox2d,
-                track_bbox=track_bbox, track_alive=track_alive,
-                track_used=track_used, track_last=track_last,
-                track_range=track_range, track_yaw=track_yaw,
+                **book.state(),
                 missing_image=np.asarray(report.missing_image, np.int64),
                 missing_detections=np.asarray(
                     report.missing_detections, np.int64
@@ -277,12 +379,7 @@ def run_online_frontend(
             quality[:m] = data["quality"][:m]
             has[:m] = data["has"][:m]
             bbox2d[:m] = data["bbox2d"][:m]
-            track_bbox[:] = data["track_bbox"]
-            track_alive[:] = data["track_alive"]
-            track_used[:] = data["track_used"]
-            track_last[:] = data["track_last"]
-            track_range[:] = data["track_range"]
-            track_yaw[:] = data["track_yaw"]
+            book.load_state(data)
             report = FrontendReport(
                 n,
                 list(data["missing_image"]),
@@ -367,8 +464,8 @@ def run_online_frontend(
         if O == 1 and D == 1 and use_yaw_prior:
             # single-track path keeps the per-track yaw prior plumbing
             prior = (
-                jnp.asarray(track_yaw[0], dtype)
-                if np.isfinite(track_yaw[0])
+                jnp.asarray(book.yaw[0], dtype)
+                if np.isfinite(book.yaw[0])
                 else None
             )
             res = detect_cuboid_single(
@@ -387,14 +484,12 @@ def run_online_frontend(
             report.no_valid_proposal.append(i)
             continue
 
-        if track_max_age is not None:
-            stale = track_alive & (i - track_last > track_max_age)
-            track_alive[stale] = False
+        book.retire_stale(i, track_max_age)
         det_of_track, matched, det_is_new = (
             np.array(v)  # writable copies (np.asarray of a jax array is RO)
             for v in associate_detections(
-                jnp.asarray(track_bbox),
-                jnp.asarray(track_alive),
+                jnp.asarray(book.bbox),
+                jnp.asarray(book.alive),
                 jnp.asarray(boxes_c),
                 jnp.asarray(det_valid),
                 min_iou=min_iou,
@@ -409,13 +504,12 @@ def run_online_frontend(
                 d = int(det_of_track[o])
                 rng_d = float(np.linalg.norm(np.asarray(res.pos[d]) - cam_t))
                 if (
-                    track_range[o] >= 0.0
-                    and abs(rng_d - track_range[o]) > depth_gate_m
+                    book.range[o] >= 0.0
+                    and abs(rng_d - book.range[o]) > depth_gate_m
                 ):
                     matched[o] = False  # drop the handoff measurement
         # spawn new tracks into free (never-used) slots (caller-side policy;
-        # the op only flags candidates).  Retired slots are NOT reused:
-        # their landmark estimate belongs to the old object.
+        # the op only flags candidates)
         for d in np.nonzero(det_is_new)[0]:
             if spawn_range_m is not None:
                 rng_d = float(
@@ -426,75 +520,25 @@ def run_online_frontend(
                         far_spawns=report.far_spawns + 1
                     )
                     continue
-            free = np.nonzero(~track_used)[0]
-            if free.size == 0:
+            o = book.spawn()
+            if o is None:
                 report = report._replace(
                     dropped_detections=report.dropped_detections + 1
                 )
                 continue
-            o = int(free[0])
-            track_alive[o] = True
-            track_used[o] = True
             det_of_track[o] = d
             matched[o] = True
 
         for o in np.nonzero(matched)[0]:
             d = int(det_of_track[o])
-            track_bbox[o] = boxes_c[d]
-            track_last[o] = i
-            track_range[o] = float(
-                np.linalg.norm(np.asarray(res.pos[d]) - T0[:3, 3])
+            meas9[i, o], quality[i, o], rng_d = _proposal_measurement(
+                res, d, roll0, pitch0, yaw0, T0[:3, 3], dtype,
+                canonicalize_yaw=canonicalize_yaw,
             )
-            track_yaw[o] = float(res.rotY[d])
-            # canonicalize the front face: rotate yaw by the multiple of 90
-            # deg that brings it nearest the facing-the-camera init
-            # (camera_yaw - 90, box_proposal_detail.cpp:180), swapping l/w on
-            # odd multiples.  Equivalent for every downstream consumer (the
-            # cuboid edge disambiguates with min_log_error, g2o_Object.h:
-            # 76-101) but makes the measurement invariant to which of the 4
-            # equivalent front-face labelings the f32/f64 grids pick.
-            yaw_init = yaw0 - np.pi / 2
-            k = (
-                int(np.round((float(res.rotY[d]) - yaw_init) / (np.pi / 2)))
-                if canonicalize_yaw
-                else 0
-            )
-            yaw_c = float(res.rotY[d]) - k * (np.pi / 2)
-            sl, sw = (
-                (float(res.scale[d][1]), float(res.scale[d][0]))
-                if k % 2
-                else (float(res.scale[d][0]), float(res.scale[d][1]))
-            )
-            # ground-frame 9-DoF -> camera-frame measurement
-            # (main_obj.cpp:649-675)
-            cube_ground = Cuboid.from_minimal(
-                jnp.asarray(
-                    [
-                        *res.pos[d],
-                        0.0,
-                        0.0,
-                        yaw_c,
-                        sl,
-                        sw,
-                        float(res.scale[d][2]),
-                    ],
-                    dtype,
-                )
-            )
-            roll_new = roll0 + float(res.camera_roll_delta[d])
-            pitch_new = pitch0 + float(res.camera_pitch_delta[d])
-            R_new = rotu.euler_zyx_to_rot(
-                jnp.asarray(roll_new, dtype),
-                jnp.asarray(pitch_new, dtype),
-                jnp.asarray(yaw0, dtype),
-            )
-            pose_used = SE3.from_rot_trans(R_new, jnp.asarray(T0[:3, 3], dtype))
-            local = cube_ground.transform_to(pose_used)
-            meas9[i, o] = np.asarray(local.to_minimal())
-            quality[i, o] = (1.0 - float(res.normalized_error[d]) + 0.5) / 2.0
+            book.accept(o, i, boxes_c[d], rng_d, float(res.rotY[d]))
             if range_weight_m is not None:
                 quality[i, o] *= min(
-                    1.0, (range_weight_m / max(track_range[o], 1e-6)) ** 2
+                    1.0, (range_weight_m / max(rng_d, 1e-6)) ** 2
                 )
             if line_track_weight > 0.0 and line_matched is not None:
                 # fraction of this track's ROI lines that found a
@@ -866,11 +910,7 @@ def _run_kitti_tracked(
         carry = graph
     step = jax.jit(step_fn)
 
-    track_bbox = np.zeros((O, 4))
-    track_alive = np.zeros(O, bool)
-    track_used = np.zeros(O, bool)
-    track_last = np.full(O, -1)
-    meas_count = np.zeros(O, np.int64)
+    book = _TrackletBook(O)
     report = FrontendReport(n, [], [], [], [], 0)
     chi2s = np.zeros(n)
     cube_hist = np.zeros((n, O, 9))
@@ -884,12 +924,7 @@ def _run_kitti_tracked(
             data = np.load(cp)
             start_frame = min(int(data["i_next"]), n)
             carry = ckpt.load_pytree(cp.parent / (cp.name + ".carry"), carry)
-            track_bbox[:] = data["track_bbox"]
-            track_alive[:] = data["track_alive"]
-            track_used[:] = data["track_used"]
-            track_last[:] = data["track_last"]
-            if "meas_count" in data:
-                meas_count[:] = data["meas_count"]
+            book.load_state(data)
             m = min(n, data["chi2s"].shape[0])
             chi2s[:m] = data["chi2s"][:m]
             cube_hist[:m] = data["cube_hist"][:m]
@@ -899,9 +934,7 @@ def _run_kitti_tracked(
                 cp,
                 dict(
                     i_next=np.asarray(i_next),
-                    track_bbox=track_bbox, track_alive=track_alive,
-                    track_used=track_used, track_last=track_last,
-                    meas_count=meas_count,
+                    **book.state(),
                     chi2s=chi2s, cube_hist=cube_hist,
                 ),
             )
@@ -983,14 +1016,12 @@ def _run_kitti_tracked(
                 report.no_valid_proposal.append(i)
                 ok = False
         if ok:
-            if track_max_age is not None:
-                stale = track_alive & (i - track_last > track_max_age)
-                track_alive[stale] = False
+            book.retire_stale(i, track_max_age)
             det_of_track, matched, det_is_new = (
                 np.array(v)
                 for v in associate_detections(
-                    jnp.asarray(track_bbox),
-                    jnp.asarray(track_alive),
+                    jnp.asarray(book.bbox),
+                    jnp.asarray(book.alive),
                     jnp.asarray(boxes_c),
                     jnp.asarray(det_valid),
                     min_iou=min_iou,
@@ -1027,57 +1058,26 @@ def _run_kitti_tracked(
                             far_spawns=report.far_spawns + 1
                         )
                         continue
-                free = np.nonzero(~track_used)[0]
-                if free.size == 0:
+                o = book.spawn()
+                if o is None:
                     report = report._replace(
                         dropped_detections=report.dropped_detections + 1
                     )
                     continue
-                o = int(free[0])
-                track_alive[o] = True
-                track_used[o] = True
                 det_of_track[o] = d
                 matched[o] = True
             meas9 = np.zeros((O, 9))
             for o in np.nonzero(matched)[0]:
                 d = int(det_of_track[o])
-                track_bbox[o] = np.asarray(boxes_c)[d]
-                track_last[o] = i
-                meas_count[o] += 1
-                yaw_init = yaw_p - np.pi / 2
-                k = int(
-                    np.round((float(res.rotY[d]) - yaw_init) / (np.pi / 2))
+                meas9[o], quality_i[o], rng_d = _proposal_measurement(
+                    res, d, roll_p, pitch_p, yaw_p, T_pred[:3, 3], dtype
                 )
-                yaw_c = float(res.rotY[d]) - k * (np.pi / 2)
-                sl, sw = (
-                    (float(res.scale[d][1]), float(res.scale[d][0]))
-                    if k % 2
-                    else (float(res.scale[d][0]), float(res.scale[d][1]))
+                book.accept(
+                    o, i, np.asarray(boxes_c)[d], rng_d, float(res.rotY[d])
                 )
-                cube_ground = Cuboid.from_minimal(
-                    jnp.asarray(
-                        [*res.pos[d], 0.0, 0.0, yaw_c, sl, sw,
-                         float(res.scale[d][2])],
-                        dtype,
-                    )
-                )
-                R_new = rotu.euler_zyx_to_rot(
-                    jnp.asarray(roll_p + float(res.camera_roll_delta[d]), dtype),
-                    jnp.asarray(pitch_p + float(res.camera_pitch_delta[d]), dtype),
-                    jnp.asarray(yaw_p, dtype),
-                )
-                pose_used = SE3.from_rot_trans(
-                    R_new, jnp.asarray(T_pred[:3, 3], dtype)
-                )
-                local = cube_ground.transform_to(pose_used)
-                meas9[o] = np.asarray(local.to_minimal())
-                quality_i[o] = (1.0 - float(res.normalized_error[d]) + 0.5) / 2.0
                 if range_weight_m is not None:
-                    rng_o = float(
-                        np.linalg.norm(np.asarray(res.pos[d]) - T_pred[:3, 3])
-                    )
                     quality_i[o] *= min(
-                        1.0, (range_weight_m / max(rng_o, 1e-6)) ** 2
+                        1.0, (range_weight_m / max(rng_d, 1e-6)) ** 2
                     )
                 x0b, y0b, x1b, y1b = np.asarray(boxes_c)[d]
                 bbox_i[o] = [
@@ -1115,7 +1115,7 @@ def _run_kitti_tracked(
         timestamps=seq.timestamps[:n],
         cube_history=cube_hist,
         cubes_minimal=cubes,
-        cube_valid=np.asarray(graph.cube_valid) & (meas_count >= min_meas),
+        cube_valid=np.asarray(graph.cube_valid) & (book.count >= min_meas),
         frontend_report=report,
     )
 
