@@ -154,15 +154,28 @@ class PointBAResult(NamedTuple):
     lambda_final: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("iterations", "fix_first"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "fix_first", "robust_delta", "point_huber"),
+)
 def optimize(
     graph: CameraObjectGraph,
     pts: PointFactors,
     K: jnp.ndarray,
     iterations: int = 5,
     fix_first: bool = True,
+    robust_delta: float | None = None,
+    prior=None,
+    point_huber: float | None = None,
 ) -> PointBAResult:
-    """LM over cameras + cuboid + points with Schur reduction over points."""
+    """LM over cameras + cuboid + points with Schur reduction over points.
+
+    `robust_delta` / `prior` apply to the graph part exactly as in
+    slam.ba.optimize (Huber on odometry/cuboid/bbox edges; sliding-window
+    CubePrior on the landmarks), so this solver can serve as the windowed
+    incremental back-end.  `point_huber` (pixels) puts a Huber kernel on
+    each point reprojection residual (g2o RobustKernelHuber semantics,
+    differentiated through like slam.ba._huber_scale)."""
     F = graph.capacity
     P = pts.points.shape[0]
     dtype = graph.cam_Tcw.trans.dtype
@@ -191,13 +204,21 @@ def optimize(
         def per_obs(Tcw_f, X_p, uv, ur, w, m, sm):
             if stereo:
                 uvr = jnp.concatenate([uv, ur[None]])
-                res_fn = lambda dp, dx: _obs_residual_stereo(
+                raw_fn = lambda dp, dx: _obs_residual_stereo(
                     dp, dx, Tcw_f, X_p, uvr, K, pts.baseline
                 )
                 row_mask = jnp.stack([m, m, m & sm])
             else:
-                res_fn = lambda dp, dx: _obs_residual(dp, dx, Tcw_f, X_p, uv, K)
+                raw_fn = lambda dp, dx: _obs_residual(dp, dx, Tcw_f, X_p, uv, K)
                 row_mask = jnp.stack([m, m])
+            if point_huber is not None:
+                from cube_slam_wu_tpu.slam.ba import _huber_scale
+
+                res_fn = lambda dp, dx: _huber_scale(
+                    raw_fn(dp, dx), point_huber
+                )
+            else:
+                res_fn = raw_fn
             r = res_fn(zeros6, zeros3)
             A = jax.jacfwd(lambda d: res_fn(d, zeros3))(zeros6)
             B = jax.jacfwd(lambda d: res_fn(zeros6, d))(zeros3)
@@ -216,10 +237,12 @@ def optimize(
     point_gate = pts.point_mask.astype(dtype)
 
     def build_system(g: CameraObjectGraph, points: jnp.ndarray):
-        # --- graph part (odometry + cuboid edges): dense autodiff ----------
+        # --- graph part (odometry + cuboid + bbox + prior): dense autodiff --
         zero_c = jnp.zeros((n_c,), dtype)
-        r_g = _residual_vector(g, zero_c, fix_first)
-        J_g = jax.jacfwd(lambda dx: _residual_vector(g, dx, fix_first))(zero_c)
+        r_g = _residual_vector(g, zero_c, fix_first, robust_delta, prior)
+        J_g = jax.jacfwd(
+            lambda dx: _residual_vector(g, dx, fix_first, robust_delta, prior)
+        )(zero_c)
         H_cc = J_g.T @ J_g
         g_c = J_g.T @ r_g
         chi2 = jnp.sum(r_g * r_g)
@@ -246,7 +269,7 @@ def optimize(
 
     def chi2_of(g: CameraObjectGraph, points: jnp.ndarray):
         zero_c = jnp.zeros((n_c,), dtype)
-        r_g = _residual_vector(g, zero_c, fix_first)
+        r_g = _residual_vector(g, zero_c, fix_first, robust_delta, prior)
         r, _, _ = point_terms(g.cam_Tcw, points)
         return jnp.sum(r_g * r_g) + jnp.sum(r * r)
 

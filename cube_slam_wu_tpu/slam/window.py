@@ -92,12 +92,25 @@ def absorb_frame(
     weight: jnp.ndarray,
     mask: jnp.ndarray,
     cube_est: Cuboid,
+    absorb_gate: float = 3.0,
+    info_cap: float = 1e4,
 ) -> CubePrior:
     """Fold the departing frame's camera-object edges into the prior.
 
     Twc_frozen: () the departed camera pose (now constant); meas/weight/mask:
     (O,) its cuboid measurements; cube_est: (O,) current landmark estimates
     (used as linearisation point on an object's FIRST absorption).
+
+    `absorb_gate` drops edges whose residual norm at the linearisation point
+    exceeds it: a measurement that far from the landmark estimate is an
+    outlier (wrong association, degenerate proposal), and freezing it into a
+    permanent Gaussian would bias the landmark forever — the in-window
+    optimisation already got its chance to reconcile it.  `info_cap` bounds
+    each absorption's information diagonal: near-pi relative rotations make
+    the SE3-log Jacobian diverge, and one such edge would otherwise poison
+    the prior's H with ~1e12 entries — which silently disables ALL later
+    window solves because LM seeds lambda_0 from max diag(H) (measured: the
+    camera freezes at the origin and chi2 grows monotonically).
     """
     O = weight.shape[0]
     dtype = weight.dtype
@@ -126,9 +139,14 @@ def absorb_frame(
         return f(zero), jax.jacfwd(f)(zero)
 
     r0, J = jax.vmap(one)(lin, meas_global, weight)  # (O, 9), (O, 9, 9)
-    gate = (mask & (weight > 0)).astype(dtype)
-    J = J * gate[:, None, None]
-    r0 = r0 * gate[:, None]
+    innov = jnp.linalg.norm(r0, axis=-1) / jnp.maximum(weight, 1e-9)
+    gate = (mask & (weight > 0) & (innov < absorb_gate)).astype(dtype)
+    # bound each edge's information so one degenerate linearisation cannot
+    # poison the (never-decaying) prior
+    jmax = jnp.max(jnp.abs(J), axis=(-2, -1))  # (O,)
+    shrink = jnp.minimum(1.0, jnp.sqrt(info_cap) / jnp.maximum(jmax, 1e-12))
+    J = J * (gate * shrink)[:, None, None]
+    r0 = r0 * (gate * shrink)[:, None]
 
     H = prior.H + jnp.einsum("oki,okj->oij", J, J)
     b = prior.b + jnp.einsum("oki,ok->oi", J, r0)
