@@ -112,6 +112,7 @@ def cmd_online(args):
         iterations=args.iterations,
         bbox_edge_weight=args.bbox_edge_weight,
         window=args.window if args.window and args.window > 0 else None,
+        point_weight=args.point_weight,
     )
     truth = uio.read_number_txt(pathlib.Path(args.base) / "truth_cam_poses.txt")
     n = len(result.timestamps)
@@ -158,6 +159,8 @@ def cmd_kitti(args):
         min_meas=args.min_meas,
         range_weight_m=args.range_weight if args.range_weight > 0 else None,
         pose_feedback=args.pose_feedback,
+        point_weight=args.point_weight,
+        n_points=args.n_points,
         checkpoint_path=args.checkpoint or None,
         checkpoint_every=args.checkpoint_every,
     )
@@ -332,6 +335,9 @@ def main(argv=None):
                          "parity: 3D cuboid edges only)")
     pn.add_argument("--window", type=int, default=0,
                     help="sliding BA window (0 = full-graph re-optimisation)")
+    pn.add_argument("--point-weight", type=float, default=0.0,
+                    help="point-landmark reprojection weight in the joint "
+                         "windowed BA (0 = off; needs --window)")
     pn.add_argument(
         "--save-cloud",
         type=int,
@@ -376,6 +382,12 @@ def main(argv=None):
     pk.add_argument("--pose-feedback", action="store_true",
                     help="interleave front/back-end: run each frame's "
                          "proposal grid at the tracker's predicted pose")
+    pk.add_argument("--point-weight", type=float, default=0.0,
+                    help="point-landmark reprojection weight in the joint "
+                         "windowed BA (0 = off; needs --pose-feedback and a "
+                         "window)")
+    pk.add_argument("--n-points", type=int, default=96,
+                    help="feature-track slots for --point-weight")
     pk.add_argument("--checkpoint", default="",
                     help="front-end checkpoint npz: saved every "
                          "--checkpoint-every frames, resumed if it exists")

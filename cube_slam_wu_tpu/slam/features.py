@@ -128,6 +128,102 @@ def track_corners(
     return jnp.stack([new_x, new_y], axis=-1), tracked, best_zncc
 
 
+class IncrementalTracker:
+    """Host-side rolling feature tracker for the interleaved per-frame loop
+    (slam.pipeline._run_kitti_tracked): fixed P slots, ZNCC tracking frame to
+    frame, dead slots REUSED by re-detection (the windowed point step clears
+    a respawned slot's observation history, so reuse cannot mix landmarks).
+
+    Per frame call `advance(gray, bboxes)` -> (pts (P, 2), alive (P,),
+    respawned (P,), ground_hint (P,)).  `bboxes` are the frame's 2D detection
+    corners [x0 y0 x1 y1] (or None): a corner inside any box belongs to an
+    OBJECT, not the ground, so its slot gets no ground hint; ground hints
+    also require the corner to sit below the horizon row."""
+
+    def __init__(
+        self,
+        n_slots: int = 96,
+        horizon_row: float | None = None,
+        redetect_min_alive: float = 0.6,
+        redetect_spacing: float = 8.0,
+        **track_kwargs,
+    ):
+        import numpy as np
+
+        self.P = n_slots
+        self.pts = np.zeros((n_slots, 2))
+        self.alive = np.zeros(n_slots, bool)
+        self.ground = np.zeros(n_slots, bool)
+        self.prev_gray = None
+        self.horizon_row = horizon_row
+        self.min_alive = int(redetect_min_alive * n_slots)
+        self.spacing = redetect_spacing
+        self.track_kwargs = track_kwargs
+
+    def state(self) -> dict:
+        return dict(
+            feat_pts=self.pts, feat_alive=self.alive, feat_ground=self.ground
+        )
+
+    def load_state(self, data) -> None:
+        if "feat_pts" in data:
+            self.pts[:] = data["feat_pts"]
+            self.alive[:] = data["feat_alive"]
+            self.ground[:] = data["feat_ground"]
+
+    def _hints(self, cand, bboxes):
+        import numpy as np
+
+        g = np.ones(len(cand), bool)
+        if self.horizon_row is not None:
+            g &= cand[:, 1] > self.horizon_row
+        if bboxes is not None and len(bboxes):
+            b = np.asarray(bboxes)
+            inside = (
+                (cand[:, 0:1] >= b[None, :, 0]) & (cand[:, 0:1] <= b[None, :, 2])
+                & (cand[:, 1:2] >= b[None, :, 1]) & (cand[:, 1:2] <= b[None, :, 3])
+            ).any(axis=1)
+            g &= ~inside
+        return g
+
+    def advance(self, gray, bboxes=None):
+        import numpy as np
+
+        respawned = np.zeros(self.P, bool)
+        if self.prev_gray is not None and self.alive.any():
+            new_pts, tracked, _ = track_corners(
+                self.prev_gray, gray, jnp.asarray(self.pts),
+                jnp.asarray(self.alive), **self.track_kwargs,
+            )
+            self.pts = np.array(new_pts)
+            self.alive = np.array(tracked)
+        elif self.prev_gray is None:
+            self.alive[:] = False
+
+        if self.alive.sum() < self.min_alive:
+            fresh, fmask = harris_corners(gray, max_corners=self.P)
+            fresh = np.asarray(fresh)[np.asarray(fmask)]
+            if self.alive.any() and len(fresh):
+                d = np.linalg.norm(
+                    fresh[:, None, :] - self.pts[None, self.alive, :], axis=-1
+                ).min(axis=1)
+                fresh = fresh[d > self.spacing]
+            free = np.nonzero(~self.alive)[0]
+            take = min(len(fresh), len(free))
+            if take:
+                slots = free[:take]
+                self.pts[slots] = fresh[:take]
+                self.alive[slots] = True
+                respawned[slots] = True
+                self.ground[slots] = self._hints(fresh[:take], bboxes)
+
+        self.prev_gray = gray
+        return (
+            self.pts.copy(), self.alive.copy(), respawned,
+            self.ground & self.alive,
+        )
+
+
 def build_point_tracks(
     grays,
     max_corners: int = 192,

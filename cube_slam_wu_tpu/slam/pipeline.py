@@ -596,6 +596,8 @@ def run_online_slam(
     line_track_weight: float = 0.0,
     robust_delta: float | None = None,
     bbox_edge_weight: float = 0.005,
+    point_weight: float = 0.0,
+    n_points: int = 128,
 ):
     """Full online mono pipeline over the reference dataset layout: per-frame
     line detection -> cuboid proposals (all detections) -> IoU association
@@ -651,6 +653,23 @@ def run_online_slam(
                 frames.has_meas, jnp.asarray(bbox_edge_weight, dtype), 0.0
             )
         )
+    point_obs = None
+    if point_weight > 0.0:
+        if window is None or window >= n:
+            raise ValueError("point_weight > 0 requires a fixed-lag window")
+        from cube_slam_wu_tpu.slam.features import build_point_tracks
+
+        if all(pathlib.Path(img).exists() for img, _ in frame_specs):
+            grays = [
+                jnp.asarray(uio.load_image_gray(img), jnp.float32)
+                for img, _ in frame_specs
+            ]
+            obs_uv, obs_mask = build_point_tracks(grays, max_corners=n_points)
+            point_obs = (obs_uv[:n], obs_mask[:n])
+        # frames with missing images would misalign the track raster;
+        # fall back to the point-free windowed path (report carries the
+        # missing-image list)
+
     graph, chi2s, cube_hist = tracker.run_incremental(
         first_Twc,
         frames,
@@ -658,7 +677,11 @@ def run_online_slam(
         soft_gate_alpha=soft_gate_alpha,
         window=window,
         robust_delta=robust_delta,
-        K=jnp.asarray(K_np, dtype) if bbox_edge_weight > 0.0 else None,
+        K=jnp.asarray(K_np, dtype)
+        if (bbox_edge_weight > 0.0 or point_obs is not None)
+        else None,
+        point_obs=point_obs,
+        point_weight=point_weight,
     )
 
     if refine_with_points:
@@ -702,6 +725,9 @@ def run_kitti_slam(
     min_meas: int = 2,
     range_weight_m: float | None = None,
     pose_feedback: bool = False,
+    point_weight: float = 0.0,
+    n_points: int = 96,
+    point_opts: dict | None = None,
 ):
     """Multi-object online SLAM over a KITTI-odometry-layout sequence
     (BASELINE config 5; the reference's capability class per its paper,
@@ -751,6 +777,10 @@ def run_kitti_slam(
         )
         h_cam = max(h_cam, 0.5)
         spawn_range_m = float(np.sqrt(0.6 * seq.K[0, 0] * h_cam))
+    if point_weight > 0.0 and not pose_feedback:
+        raise ValueError(
+            "point_weight > 0 needs the interleaved loop (pose_feedback=True)"
+        )
     if pose_feedback:
         return _run_kitti_tracked(
             seq, n, dtype,
@@ -771,6 +801,9 @@ def run_kitti_slam(
             detections_dir=detections_dir,
             checkpoint_path=checkpoint_path,
             checkpoint_every=checkpoint_every,
+            point_weight=point_weight,
+            n_points=n_points,
+            point_opts=point_opts,
         )
 
     if seq.poses_T_wc is not None:
@@ -855,6 +888,9 @@ def _run_kitti_tracked(
     checkpoint_path=None,
     checkpoint_every: int = 25,
     assoc_gate_m: float = 3.0,
+    point_weight: float = 0.0,
+    n_points: int = 96,
+    point_opts: dict | None = None,
 ):
     """Interleaved front-end/back-end loop (see run_kitti_slam docstring):
     one jit-compiled tracker step per frame, with the next frame's proposal
@@ -869,7 +905,15 @@ def _run_kitti_tracked(
     overlapping A's stale box and the track hands off seamlessly from
     object to object (measured: one track spanning 70 frames / 35 m of
     travel with 21 m measurement errors, dragging the trajectory to
-    ATE 2.9 m).  Age-based retirement cannot break a seamless handoff."""
+    ATE 2.9 m).  Age-based retirement cannot break a seamless handoff.
+
+    `point_weight > 0` adds point landmarks to the windowed joint BA (the
+    paper's camera+points+objects coupling; requires `window`): Harris+ZNCC
+    features tracked incrementally (slam.features.IncrementalTracker, slot
+    reuse with respawn flags), triangulated/ground-bootstrapped and
+    optimised inside each window (tracker.make_windowed_point_step).
+    Ground hints come from corners below the principal row and outside
+    every detection bbox."""
     from cube_slam_wu_tpu.core import rotations as rotu
     from cube_slam_wu_tpu.ops.association import associate_detections
     from cube_slam_wu_tpu.ops.detect import DetectConfig, detect_line_segments
@@ -898,7 +942,27 @@ def _run_kitti_tracked(
 
     graph = CameraObjectGraph.empty(n, O, dtype)._replace(K=K_j)
     windowed = window is not None and window < n
-    if windowed:
+    use_points = point_weight > 0.0
+    if use_points and not windowed:
+        raise ValueError("point_weight > 0 requires a fixed-lag window")
+    ftracker = None
+    if use_points:
+        from cube_slam_wu_tpu.slam.features import IncrementalTracker
+
+        step_fn = tracker.make_windowed_point_step(
+            window, K_j, iterations, None, soft_gate_alpha, 1.0,
+            robust_delta, point_weight=point_weight, **(point_opts or {}),
+        )
+        carry = (
+            graph,
+            CubePrior.empty(O, dtype),
+            tracker.PointState.empty(n, n_points, dtype),
+        )
+        # level-camera horizon: ground candidates sit below the principal row
+        ftracker = IncrementalTracker(
+            n_points, horizon_row=float(seq.K[1, 2]) + 5.0
+        )
+    elif windowed:
         step_fn = tracker.make_windowed_step(
             window, iterations, None, soft_gate_alpha, 1.0, robust_delta
         )
@@ -928,6 +992,13 @@ def _run_kitti_tracked(
             m = min(n, data["chi2s"].shape[0])
             chi2s[:m] = data["chi2s"][:m]
             cube_hist[:m] = data["cube_hist"][:m]
+            if ftracker is not None:
+                ftracker.load_state(data)
+                prev = pathlib.Path(seq.image_paths[start_frame - 1]) if start_frame > 0 else None
+                if prev is not None and prev.exists():
+                    ftracker.prev_gray = jnp.asarray(
+                        uio.load_image_gray(prev), jnp.float32
+                    )
 
         def _save(i_next):
             ckpt.save_pytree(
@@ -935,6 +1006,7 @@ def _run_kitti_tracked(
                 dict(
                     i_next=np.asarray(i_next),
                     **book.state(),
+                    **(ftracker.state() if ftracker is not None else {}),
                     chi2s=chi2s, cube_hist=cube_hist,
                 ),
             )
@@ -977,10 +1049,14 @@ def _run_kitti_tracked(
         img_path = pathlib.Path(seq.image_paths[i])
         det_path = pathlib.Path(ukitti.detection_txt_path(detections_dir, i))
         ok = True
+        gray = None
+        boxes_c = None
         if not img_path.exists():
             report.missing_image.append(i)
             ok = False
-        elif not det_path.exists():
+        else:
+            gray = jnp.asarray(uio.load_image_gray(img_path), dtype)
+        if ok and not det_path.exists():
             report.missing_detections.append(i)
             ok = False
         if ok:
@@ -988,8 +1064,22 @@ def _run_kitti_tracked(
             if not np.asarray(dmask).any():
                 report.empty_detections.append(i)
                 ok = False
+
+        # -- incremental feature tracking (runs on every frame with an
+        #    image, detections or not) ------------------------------------
+        pt_obs = np.zeros((n_points, 2))
+        pt_alive = np.zeros(n_points, bool)
+        pt_respawn = np.zeros(n_points, bool)
+        pt_ground = np.zeros(n_points, bool)
+        if ftracker is not None and gray is not None:
+            pt_obs, pt_alive, pt_respawn, pt_ground = ftracker.advance(
+                gray.astype(jnp.float32),
+                np.asarray(boxes_c)[np.asarray(dmask)]
+                if boxes_c is not None
+                else None,
+            )
+
         if ok:
-            gray = jnp.asarray(uio.load_image_gray(img_path), dtype)
             lines32, lmask = detect_line_segments(
                 gray.astype(jnp.float32), detect_cfg
             )
@@ -1096,9 +1186,19 @@ def _run_kitti_tracked(
                 jnp.asarray(has_i), jnp.asarray(bbox_edge_weight, dtype), 0.0
             ),
         )
-        carry, (chi2, cube_min) = step(
-            carry, (jnp.asarray(i, jnp.int32), frame, first_Twc)
-        )
+        if use_points:
+            carry, (chi2, cube_min) = step(
+                carry,
+                (
+                    jnp.asarray(i, jnp.int32), frame, first_Twc,
+                    jnp.asarray(pt_obs, dtype), jnp.asarray(pt_alive),
+                    jnp.asarray(pt_respawn), jnp.asarray(pt_ground),
+                ),
+            )
+        else:
+            carry, (chi2, cube_min) = step(
+                carry, (jnp.asarray(i, jnp.int32), frame, first_Twc)
+            )
         chi2s[i] = float(chi2)
         cube_hist[i] = np.asarray(cube_min)
 

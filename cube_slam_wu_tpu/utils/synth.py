@@ -93,11 +93,44 @@ def camera_pose(t: float, speed: float = 1.0, curve: float = 0.0) -> np.ndarray:
     return T
 
 
+def _ground_speckle(T_wc, K, size, amplitude, cell=0.25, max_range=30.0):
+    """World-anchored procedural ground texture: each ground pixel's ray is
+    intersected with z = 0 and the hit cell hashed to a gray offset — the
+    pattern is attached to the WORLD, so it is view-consistent across frames
+    (a screen-space noise would be untrackable).  Amplitude fades with range
+    so sub-pixel far cells do not alias frame to frame.  Returns (H, W)
+    additive offsets (zero above the horizon / beyond range)."""
+    H, W = size
+    R_wc = T_wc[:3, :3]
+    C = T_wc[:3, 3]
+    us, vs = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
+    rays_c = np.stack([us, vs, np.ones_like(us)], axis=-1) @ np.linalg.inv(K).T
+    d_w = rays_c @ R_wc.T  # (H, W, 3)
+    dz = d_w[..., 2]
+    with np.errstate(all="ignore"):
+        t = -C[2] / dz
+    hit = (dz < -1e-6) & (t > 0) & (t < max_range / np.maximum(1e-6, np.linalg.norm(d_w, axis=-1)))
+    Xw = C[None, None, :2] + t[..., None] * d_w[..., :2]
+    ix = np.floor(Xw[..., 0] / cell).astype(np.int64)
+    iy = np.floor(Xw[..., 1] / cell).astype(np.int64)
+    h = ((ix * 73856093) ^ (iy * 19349663)) & 0xFFFF
+    val = (h / 65535.0) * 2.0 - 1.0
+    rng_m = t * np.linalg.norm(d_w, axis=-1)
+    fade = np.clip(1.0 - rng_m / max_range, 0.0, 1.0)
+    return np.where(hit, amplitude * val * fade, 0.0)
+
+
 def render_frame(
-    T_wc: np.ndarray, objects, K: np.ndarray, size=(480, 640)
+    T_wc: np.ndarray, objects, K: np.ndarray, size=(480, 640),
+    ground_texture: float = 0.0,
 ) -> np.ndarray:
     """Flat-shaded render of the cuboid set: painter's algorithm over
-    back-face-culled faces.  Returns (H, W) uint8."""
+    back-face-culled faces.  Returns (H, W) uint8.
+
+    `ground_texture` > 0 adds world-anchored speckle to the ground plane
+    (gray-level amplitude): real roads have trackable micro-texture, and a
+    perfectly flat-shaded ground starves any point-feature front-end — set
+    it when exercising the point-landmark pipeline."""
     H, W = size
     img = np.full((H, W), _SKY, np.float64)
     # ground: rows below the horizon get a gentle depth gradient
@@ -112,6 +145,8 @@ def render_frame(
     ground = rows[:, None] >= horizon
     frac = np.clip((rows[:, None] - horizon) / max(H - horizon, 1.0), 0, 1)
     img = np.where(ground, _GROUND_FAR + (_GROUND_NEAR - _GROUND_FAR) * frac, img)
+    if ground_texture > 0.0:
+        img = img + _ground_speckle(T_wc, K, size, ground_texture)
 
     faces = []
     for obj in objects:
@@ -216,6 +251,7 @@ def make_sequence(
     dropout: float = 0.0,
     seed: int = 0,
     objects: list | None = None,
+    ground_texture: float = 0.0,
 ) -> SynthSequence:
     """Generate a full synthetic sequence: objects scattered ahead of the
     trajectory on both road sides (or an explicit `objects` list), camera
@@ -230,7 +266,10 @@ def make_sequence(
         T_wc = np.stack(
             [camera_pose(i * dt, speed, curve) for i in range(n_frames)]
         )
-        images = [render_frame(T, objects, K, size) for T in T_wc]
+        images = [
+            render_frame(T, objects, K, size, ground_texture=ground_texture)
+            for T in T_wc
+        ]
         detections = [
             detect_objects(
                 T, objects, K, size, noise_px=noise_px, dropout=dropout, rng=rng
@@ -253,7 +292,10 @@ def make_sequence(
         )
 
     T_wc = np.stack([camera_pose(i * dt, speed, curve) for i in range(n_frames)])
-    images = [render_frame(T, objects, K, size) for T in T_wc]
+    images = [
+        render_frame(T, objects, K, size, ground_texture=ground_texture)
+        for T in T_wc
+    ]
     detections = [
         detect_objects(
             T, objects, K, size, noise_px=noise_px, dropout=dropout, rng=rng

@@ -80,8 +80,8 @@ print(f"windowed, no points : ATE {ate0:.4f} m")
 ground_hint = np.zeros((N, P), bool)
 ground_hint[:, : P // 2] = True  # the true ground points
 
-for pw in (0.02, 0.05, 0.1):
-    for gh in (False, True):
+for pw in (0.1, 0.3, 1.0, 2.0):
+    for gh in (True,):
         po = (obs_uv, obs_mask, ground_hint) if gh else (obs_uv, obs_mask)
         g1, _, _ = tracker.run_incremental(
             first, frames, window=W, K=jnp.asarray(K),

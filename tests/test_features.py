@@ -106,3 +106,52 @@ def test_redetection_disabled_matches_round1_behaviour():
         frames, max_corners=32, redetect_min_alive=0, capacity=32
     )
     assert obs_mask.shape[1] == 32
+
+
+def _speckle(shift=(0, 0), size=(120, 160), seed=7):
+    rng = np.random.default_rng(seed)
+    big = rng.uniform(0, 255, (size[0] + 64, size[1] + 64))
+    return big[32 + shift[0] : 32 + shift[0] + size[0],
+               32 + shift[1] : 32 + shift[1] + size[1]]
+
+
+class TestIncrementalTracker:
+    """Rolling host-side tracker for the interleaved loop
+    (features.IncrementalTracker): slot reuse + respawn flags + ground
+    hints."""
+
+    def test_tracks_shift_and_flags_respawn(self):
+        tr = features.IncrementalTracker(n_slots=32)
+        g0 = jnp.asarray(_speckle((0, 0)))
+        g1 = jnp.asarray(_speckle((2, 3)))
+        pts0, alive0, resp0, _ = tr.advance(g0)
+        assert alive0.sum() >= 16
+        assert resp0[alive0].all()  # first frame: everything freshly seeded
+        pts1, alive1, resp1, _ = tr.advance(g1)
+        kept = alive1 & alive0 & ~resp1
+        assert kept.sum() >= 10
+        d = pts1[kept] - pts0[kept]
+        # image content moved by (+2 rows, +3 cols) -> features move (-3, -2)
+        assert np.median(np.abs(d[:, 0] + 3)) <= 1.0
+        assert np.median(np.abs(d[:, 1] + 2)) <= 1.0
+
+    def test_dead_slots_reused_with_respawn_flag(self):
+        tr = features.IncrementalTracker(n_slots=16, redetect_min_alive=1.0)
+        g0 = jnp.asarray(_speckle((0, 0)))
+        tr.advance(g0)
+        # unrelated content kills every track; re-detection reuses slots
+        g2 = jnp.asarray(_speckle((0, 0), seed=99))
+        pts2, alive2, resp2, _ = tr.advance(g2)
+        assert alive2.any()
+        assert (resp2 == alive2).all() or resp2[alive2].all()
+
+    def test_ground_hints_respect_bboxes_and_horizon(self):
+        tr = features.IncrementalTracker(n_slots=64, horizon_row=60.0)
+        g0 = jnp.asarray(_speckle((0, 0)))
+        box = np.array([[40.0, 70.0, 100.0, 110.0]])  # x0 y0 x1 y1
+        pts, alive, resp, ground = tr.advance(g0, bboxes=box)
+        live = alive & resp
+        for p, g in zip(pts[live], ground[live]):
+            above = p[1] <= 60.0
+            inside = 40 <= p[0] <= 100 and 70 <= p[1] <= 110
+            assert g == (not above and not inside)
