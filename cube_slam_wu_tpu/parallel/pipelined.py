@@ -132,6 +132,10 @@ def make_pipelined_frontend(
             mesh=mesh,
             in_specs=(P(), P()),
             out_specs=P(axis),
+            # the stages call the Pallas EDT kernel, whose out_shape has no
+            # varying-mesh-axes annotation; vma checking rejects it (the
+            # only cross-device op here is the explicit ppermute handoff)
+            check_vma=False,
         )
     )
 

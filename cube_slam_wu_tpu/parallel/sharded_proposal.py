@@ -132,6 +132,10 @@ def detect_cuboid_sharded(
         mesh=mesh,
         in_specs=(P(axis_name), P(axis_name), P(axis_name), P()),
         out_specs=out_specs,
+        # the grid block calls the Pallas EDT kernel, whose out_shape has no
+        # varying-mesh-axes annotation; vma checking rejects it although the
+        # block is purely roll/pitch-sharded (no cross-device collectives)
+        check_vma=False,
     )(roll_pad, pitch_pad, rp_valid, rep)
 
     nC = int(cfg.consider_config_1) + int(cfg.consider_config_2)
