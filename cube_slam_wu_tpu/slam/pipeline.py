@@ -736,7 +736,7 @@ def run_kitti_slam(
     Detections come from per-frame txts (`x y w h prob`, the reference's
     filter_2d_obj_txts contract); images from image_0/.
 
-    `pose_feedback=True` (default) interleaves front-end and back-end:
+    `pose_feedback=True` interleaves front-end and back-end:
     each frame's proposal grid runs at the tracker's constant-velocity
     PREDICTED pose.  The reference's online branch instead reuses the
     first frame's pose for every frame (main_obj.cpp:624-628) — fine for

@@ -242,3 +242,37 @@ def test_kitti_pose_feedback_mode(tmp_path):
     # predictions from barely-constrained poses, so its bound is looser
     assert ate < 1.5, f"pose-feedback KITTI ATE {ate:.3f}"
     assert np.asarray(result.cube_valid).sum() >= 2
+
+
+@pytest.mark.slow
+def test_kitti_points_improve_interleaved_drive(tmp_path):
+    """Joint point BA in the interleaved driver (point_weight > 0): on a
+    textured forward drive the point landmarks must cut the trajectory
+    error vs the cuboid-only interleaved run (the measured 120-frame matrix:
+    cuboid-only 7.3-20 m, with points ~0.7 m; this 60-frame gate is looser
+    but still separates the modes decisively)."""
+    from cube_slam_wu_tpu.slam import pipeline
+    from cube_slam_wu_tpu.utils.metrics import ate_rmse
+
+    N = 60
+    seq = synth.make_sequence(
+        n_frames=N, n_objects=6, size=(240, 320), speed=0.5, curve=0.002,
+        noise_px=0.8, dropout=0.05, seed=4, ground_texture=4.0,
+    )
+    out, det_dir, poses_path = synth.write_kitti_sequence(seq, tmp_path / "seq")
+    gt = seq.T_wc[:N, :3, 3]
+
+    base = pipeline.run_kitti_slam(
+        out, det_dir, poses_path, max_objects=8, max_detections=4,
+        window=16, pose_feedback=True,
+    )
+    ate_base = ate_rmse(np.asarray(base.traj_Twc_xyzq)[:N, :3], gt)
+
+    pts = pipeline.run_kitti_slam(
+        out, det_dir, poses_path, max_objects=8, max_detections=4,
+        window=16, pose_feedback=True, point_weight=0.3,
+    )
+    ate_pts = ate_rmse(np.asarray(pts.traj_Twc_xyzq)[:N, :3], gt)
+    assert np.isfinite(ate_pts)
+    assert ate_pts < 1.0, f"points ATE {ate_pts:.3f}"
+    assert ate_pts < ate_base * 0.75, (ate_pts, ate_base)
