@@ -142,6 +142,12 @@ class ProposalResult(NamedTuple):
     skew_ratio: jnp.ndarray
     camera_roll_delta: jnp.ndarray
     camera_pitch_delta: jnp.ndarray
+    # () int32: number of VALID hypotheses shed by a binding dist_gather_cap
+    # (summed over config blocks and height samples).  0 means the compacted
+    # chamfer gather was exact; >0 means ranking may differ from the full
+    # gather and the caller should fall back (see ProposalConfig
+    # .dist_gather_cap and slam/pipeline's exact-gather fallback).
+    cap_overflow: jnp.ndarray = ()
 
 
 # ---------------------------------------------------------------------------
@@ -831,6 +837,13 @@ def hypothesis_grid(
                 order = jnp.argsort(
                     jnp.where(valid, angle, amax), stable=True
                 )[:Kc]
+                # saturation accounting (VERDICT r2 item 4): a binding cap
+                # silently invalidates the overflow, so count it.  Shaped
+                # (1,) so the sharded path's per-device blocks concatenate
+                # (summed in _fuse_and_rank).
+                overflow = jnp.maximum(
+                    jnp.sum(valid.astype(jnp.int32)) - Kc, 0
+                )[None]
                 distc = _edge_dist_score(
                     dist_map, cx[:, order], cy[:, order], config_id,
                     cfg.reweight_edge_distance, bilinear=cfg.bilinear_dist,
@@ -838,6 +851,7 @@ def hypothesis_grid(
                 dist = jnp.zeros((Hc,), dist_map.dtype).at[order].set(distc)
                 valid &= jnp.zeros((Hc,), bool).at[order].set(True)
             else:
+                overflow = jnp.zeros((1,), jnp.int32)
                 dist = _edge_dist_score(
                     dist_map, cx, cy, config_id, cfg.reweight_edge_distance,
                     bilinear=cfg.bilinear_dist,
@@ -849,6 +863,7 @@ def hypothesis_grid(
                     cy=cy,
                     vp1=vp1_pos,
                     valid=valid,
+                    cap_overflow=overflow,
                     dist=dist,
                     angle=angle,
                     cfg_id=jnp.full((Hc,), config_id, jnp.int32),
@@ -910,6 +925,11 @@ def _fuse_and_rank(
     roll_f = aux["roll_f"]
     pitch_f = aux["pitch_f"]
     nC = aux["nC"]
+    # dist_gather_cap saturation, summed over config blocks x height samples
+    # x (sharded path) devices; popped so the H-axis cat below skips it
+    cap_overflow = sum(
+        jnp.sum(b.pop("cap_overflow")) for b in hblocks
+    )
     # score fusion runs PER height sample (box_proposal_detail.cpp:715)
     for b in hblocks:
         scores_b, kept_b = fuse_normalized_scores(
@@ -1040,6 +1060,7 @@ def _fuse_and_rank(
         skew_ratio=skew[best],
         camera_roll_delta=roll_delta,
         camera_pitch_delta=pitch_delta,
+        cap_overflow=jnp.asarray(cap_overflow, jnp.int32),
     )
     if not return_internals:
         return result

@@ -9,6 +9,7 @@ reference `object_slam/data/` contract.
 
 from __future__ import annotations
 
+import dataclasses
 import pathlib
 from typing import NamedTuple
 
@@ -88,6 +89,12 @@ class FrontendReport(NamedTuple):
     no_valid_proposal: list
     dropped_detections: int  # valid detections with no free object slot
     far_spawns: int = 0  # new-object spawns skipped by spawn_range_m
+    # frames where a binding ProposalConfig.dist_gather_cap shed valid
+    # hypotheses; each such frame is transparently recomputed with the exact
+    # full gather (cap_fallbacks counts the reruns), so a binding cap can
+    # never silently change a ranking off-distribution
+    cap_overflow_frames: int = 0
+    cap_fallbacks: int = 0
 
     def summary(self) -> str:
         return (
@@ -96,8 +103,30 @@ class FrontendReport(NamedTuple):
             f"empty_det={len(self.empty_detections)} "
             f"no_proposal={len(self.no_valid_proposal)} "
             f"dropped_det={self.dropped_detections} "
-            f"far_spawns={self.far_spawns}"
+            f"far_spawns={self.far_spawns} "
+            f"cap_overflow={self.cap_overflow_frames}"
         )
+
+
+def _exact_gather_fallback(res, report, recompute):
+    """dist_gather_cap safety net (ProposalConfig.dist_gather_cap): if the
+    compacted chamfer gather shed valid hypotheses this frame
+    (res.cap_overflow > 0 for any detection), transparently recompute with
+    the caps disabled — the exact full gather — so a binding cap can never
+    silently change a ranking on off-distribution scenes.  `recompute()`
+    re-runs the frame's detect call with a caps-off config (compiled once,
+    only when first needed)."""
+    if int(np.sum(np.asarray(res.cap_overflow))) == 0:
+        return res, report
+    report = report._replace(
+        cap_overflow_frames=report.cap_overflow_frames + 1,
+        cap_fallbacks=report.cap_fallbacks + 1,
+    )
+    return recompute(), report
+
+
+def _caps_off(cfg):
+    return dataclasses.replace(cfg, dist_gather_cap=0, dist_gather_cap2=0)
 
 
 class _TrackletBook:
@@ -468,17 +497,29 @@ def run_online_frontend(
                 if np.isfinite(book.yaw[0])
                 else None
             )
-            res = detect_cuboid_single(
-                gray, K, T0_j, jnp.asarray(xywh[0], dtype), lines, lmask,
-                cfg, yaw_prior=prior,
+            def one_det(c, _prior=prior):
+                r = detect_cuboid_single(
+                    gray, K, T0_j, jnp.asarray(xywh[0], dtype), lines, lmask,
+                    c, yaw_prior=_prior,
+                )
+                return jax.tree.map(lambda a: np.asarray(a)[None], r)
+
+            res = one_det(cfg)
+            res, report = _exact_gather_fallback(
+                res, report, lambda: one_det(_caps_off(cfg))
             )
-            res = jax.tree.map(lambda a: np.asarray(a)[None], res)
         else:
-            res = detect_cuboids(
-                gray, K, T0_j, jnp.asarray(xywh, dtype), jnp.asarray(dmask),
-                lines, lmask, cfg,
+            def many_det(c):
+                r = detect_cuboids(
+                    gray, K, T0_j, jnp.asarray(xywh, dtype),
+                    jnp.asarray(dmask), lines, lmask, c,
+                )
+                return jax.tree.map(np.asarray, r)
+
+            res = many_det(cfg)
+            res, report = _exact_gather_fallback(
+                res, report, lambda: many_det(_caps_off(cfg))
             )
-            res = jax.tree.map(np.asarray, res)
         det_valid = res.valid & dmask
         if not det_valid.any():
             report.no_valid_proposal.append(i)
@@ -1096,11 +1137,18 @@ def _run_kitti_tracked(
                     np.asarray(boxes_c)[:, 3] - np.asarray(boxes_c)[:, 1],
                 ]
             )
-            res = detect_cuboids(
-                gray, K_j, jnp.asarray(T_pred, dtype), jnp.asarray(xywh, dtype),
-                jnp.asarray(dmask), lines32.astype(dtype), lmask, cfg,
+            def kitti_det(c):
+                r = detect_cuboids(
+                    gray, K_j, jnp.asarray(T_pred, dtype),
+                    jnp.asarray(xywh, dtype), jnp.asarray(dmask),
+                    lines32.astype(dtype), lmask, c,
+                )
+                return jax.tree.map(np.asarray, r)
+
+            res = kitti_det(cfg)
+            res, report = _exact_gather_fallback(
+                res, report, lambda: kitti_det(_caps_off(cfg))
             )
-            res = jax.tree.map(np.asarray, res)
             det_valid = res.valid & np.asarray(dmask)
             if not det_valid.any():
                 report.no_valid_proposal.append(i)
