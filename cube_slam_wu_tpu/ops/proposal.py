@@ -119,6 +119,15 @@ class ProposalConfig:
     # inside the box) justify its smaller cap.
     dist_gather_cap: int = 4608
     dist_gather_cap2: int = 1536
+    # Return the N best-ranked proposals per box instead of only the winner
+    # (the reference's ObjectSet semantics: max_cuboid_num ranked cuboids,
+    # detect_3d_cuboid.h:95-96, partial-sort box_proposal_detail.cpp:801-838;
+    # its drivers set 1).  >1 gives every ProposalResult field a leading
+    # axis of size max_cuboid_num, ranked best-first, with per-rank `valid`
+    # (False when fewer than N hypotheses survive).  Ranking is the plain
+    # skew-penalised final score; rank_margin and average_top_k apply only
+    # to the single-winner path.
+    max_cuboid_num: int = 1
 
     @property
     def rp_count(self) -> int:
@@ -993,6 +1002,47 @@ def _fuse_and_rank(
         final = final + cfg.yaw_prior_weight * jnp.abs(dy)
     final = jnp.where(kept & scale_ok & jnp.isfinite(scores), final, jnp.inf)
 
+    def mk_result(idx):
+        """ProposalResult for the hypothesis at flat grid index `idx`
+        (closes over the — possibly winner-averaged — field arrays)."""
+        b_vp1 = vp1_f[idx]
+        reorder = jnp.where(
+            b_vp1 == 1,
+            jnp.asarray(_REORDER_VP_LEFT),
+            jnp.asarray(_REORDER_VP_RIGHT),
+        )
+        b_pos = jnp.stack([pos_x[idx], pos_y[idx], pos_z[idx]])
+        b_yaw = yaw_grid[idx]
+        b_scale = jnp.stack([len_h[idx], wid_h[idx], hei_h[idx]])
+        return ProposalResult(
+            valid=jnp.isfinite(final[idx]),
+            pos=b_pos,
+            rotY=b_yaw,
+            scale=b_scale,
+            box_config_type=jnp.stack([cfgid_f[idx], b_vp1]).astype(jnp.int32),
+            corners_2d=jnp.stack([cx_f[reorder, idx], cy_f[reorder, idx]]),
+            corners_3d_world=_similarity_corners_3d(b_pos, b_yaw, b_scale),
+            edge_distance_error=dist_f[idx],
+            edge_angle_error=angle_f[idx],
+            normalized_error=scores[idx],
+            skew_ratio=skew[idx],
+            camera_roll_delta=roll_grid[idx] - euler_raw[0],
+            camera_pitch_delta=pitch_grid[idx] - euler_raw[1],
+            cap_overflow=jnp.asarray(cap_overflow, jnp.int32),
+        )
+
+    if cfg.max_cuboid_num > 1:
+        # ranked ObjectSet: the N best hypotheses by final score, best first
+        # (box_proposal_detail.cpp:801-838 partial-sort semantics)
+        _, top_idx = jax.lax.top_k(-final, cfg.max_cuboid_num)
+        result = jax.vmap(mk_result)(top_idx)
+        if not return_internals:
+            return result
+        internals = dict(
+            final=final, best=top_idx, scores=scores, valid=valid_f
+        )
+        return result, internals
+
     if cfg.rank_margin > 0.0:
         best0 = jnp.argmin(final)
         H_total = final.shape[0]
@@ -1031,37 +1081,7 @@ def _fuse_and_rank(
         hei_h = hei_h.at[best].set(avg(hei_h[top_idx]))
         yaw_grid = yaw_grid.at[best].set(avg(yaw_adj))
 
-    b_vp1 = vp1_f[best]
-    reorder = jnp.where(
-        b_vp1 == 1,
-        jnp.asarray(_REORDER_VP_LEFT),
-        jnp.asarray(_REORDER_VP_RIGHT),
-    )
-    corners_2d = jnp.stack([cx_f[reorder, best], cy_f[reorder, best]])  # (2, 8)
-    b_pos = jnp.stack([pos_x[best], pos_y[best], pos_z[best]])
-    b_yaw = yaw_grid[best]
-    b_scale = jnp.stack([len_h[best], wid_h[best], hei_h[best]])
-    corners_3d = _similarity_corners_3d(b_pos, b_yaw, b_scale)
-
-    roll_delta = roll_grid[best] - euler_raw[0]
-    pitch_delta = pitch_grid[best] - euler_raw[1]
-
-    result = ProposalResult(
-        valid=best_valid,
-        pos=b_pos,
-        rotY=b_yaw,
-        scale=b_scale,
-        box_config_type=jnp.stack([cfgid_f[best], b_vp1]).astype(jnp.int32),
-        corners_2d=corners_2d,
-        corners_3d_world=corners_3d,
-        edge_distance_error=dist_f[best],
-        edge_angle_error=angle_f[best],
-        normalized_error=scores[best],
-        skew_ratio=skew[best],
-        camera_roll_delta=roll_delta,
-        camera_pitch_delta=pitch_delta,
-        cap_overflow=jnp.asarray(cap_overflow, jnp.int32),
-    )
+    result = mk_result(best)._replace(valid=best_valid)
     if not return_internals:
         return result
     internals = dict(
@@ -1194,4 +1214,6 @@ def detect_cuboids(
         return detect_cuboid_single(gray, K, T_wc, box, lines, line_mask, cfg)
 
     res = jax.vmap(one)(bboxes)
+    if cfg.max_cuboid_num > 1:  # valid is (B, N): mask per box
+        bbox_mask = bbox_mask[:, None]
     return res._replace(valid=res.valid & bbox_mask)

@@ -147,3 +147,48 @@ def test_merged_lines_close_to_reference(engine_run):
             matched += 1
     assert matched / len(ref) >= 0.75
     assert abs(len(ours) - len(ref)) <= 3
+
+
+def test_max_cuboid_num_api_topk(engine_run):
+    """ObjectSet semantics (detect_3d_cuboid.h:95-96): max_cuboid_num=5
+    returns the 5 best-ranked proposals with a leading rank axis, best
+    first, each matching the from-source reference's ranked dump."""
+    gray, res_single, _ = engine_run
+    edges = uio.read_number_txt(FIXTURE / "edge_detection/LSD/0000_edge.txt")
+    K = np.array([[529.5, 0, 365.0], [0, 529.5, 265.0], [0, 0, 1.0]])
+    T_wc = np.array(
+        [
+            [1, 0.0011, 0.0004, 0],
+            [0, -0.3376, 0.9413, 0],
+            [0.0011, -0.9413, -0.3376, 1.35],
+            [0, 0, 0, 1.0],
+        ]
+    )
+    bbox = np.array([187.0, 188.0, 201.0, 311.0])
+    L = 320
+    lines = np.zeros((L, 4))
+    lines[: len(edges)] = edges[:, :4]
+    mask = np.zeros(L, bool)
+    mask[: len(edges)] = True
+    res = detect_cuboid_single(
+        gray,
+        jnp.asarray(K),
+        jnp.asarray(T_wc),
+        jnp.asarray(bbox),
+        jnp.asarray(lines),
+        jnp.asarray(mask),
+        ProposalConfig(max_lines=L, max_cuboid_num=5),
+    )
+    res = jax.tree.map(np.asarray, res)
+    assert res.pos.shape == (5, 3)
+    assert res.valid.all()
+    # rank 0 == the single-winner path
+    np.testing.assert_allclose(res.pos[0], res_single.pos, atol=1e-12)
+    np.testing.assert_allclose(res.rotY[0], res_single.rotY, atol=1e-12)
+    # each rank matches the reference's ranked proposal dump
+    ref = np.loadtxt(ORACLE / "proposals.txt")
+    for rank in range(5):
+        top = ref[rank]
+        np.testing.assert_allclose(res.pos[rank], top[0:3], atol=2e-3)
+        assert abs(res.rotY[rank] - top[6]) < 1e-3
+        assert abs(res.normalized_error[rank] - top[11]) < 0.05
