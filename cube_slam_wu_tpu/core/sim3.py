@@ -24,10 +24,13 @@ def _sim3_W(omega: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
     small-theta / small-sigma series guards."""
     dtype = omega.dtype
     s = jnp.exp(sigma)
-    theta = jnp.linalg.norm(omega, axis=-1)
-    small_t = theta < _EPS
+    # squared-norm guard: norm() has a NaN derivative at omega == 0, which
+    # poisons jacfwd at the zero tangent (the LM linearisation point);
+    # sqrt of the where-guarded square is smooth on both branches
+    theta2 = jnp.sum(omega * omega, axis=-1)
+    small_t = theta2 < _EPS * _EPS
     small_s = jnp.abs(sigma) < _EPS
-    th = jnp.where(small_t, 1.0, theta)
+    th = jnp.sqrt(jnp.where(small_t, 1.0, theta2))
     sg = jnp.where(small_s, 1.0, sigma)
 
     Om = rot.skew(omega)
@@ -36,7 +39,13 @@ def _sim3_W(omega: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
 
     C = jnp.where(small_s, 1.0, (s - 1.0) / sg)
     A_ss = jnp.where(small_t, 0.5, (1.0 - jnp.cos(th)) / th**2)
-    A_gs = (s * jnp.sin(th) * th + (1.0 - s * jnp.cos(th)) * sg) / (
+    # general case (Strasdat's closed form): A = (a*sigma + (1-b)*theta) /
+    # (theta*(sigma^2+theta^2)) with a = s*sin(theta), b = s*cos(theta);
+    # validated against a brute-force 4x4 matrix exponential in
+    # tests/test_sim3.py (an earlier version swapped sigma/theta in the
+    # numerator, which diverges as theta -> 0 and made exp()'s translation
+    # wrong for every sigma != 0)
+    A_gs = (s * jnp.sin(th) * sg + (1.0 - s * jnp.cos(th)) * th) / (
         th * (sg**2 + th**2)
     )
     A_gt = ((sg - 1.0) * s + 1.0) / sg**2
@@ -92,14 +101,15 @@ class Sim3(NamedTuple):
         sigma = tangent[..., 6]
         dtype = tangent.dtype
 
-        theta = jnp.linalg.norm(omega, axis=-1)
-        small_t = theta < _EPS
-        th = jnp.where(small_t, 1.0, theta)
+        # squared-norm guard (see _sim3_W): keeps jacfwd finite at omega == 0
+        theta2 = jnp.sum(omega * omega, axis=-1)
+        small_t = theta2 < _EPS * _EPS
+        th = jnp.sqrt(jnp.where(small_t, 1.0, theta2))
         Om = rot.skew(omega)
         Om2 = Om @ Om
         eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), Om.shape)
-        a = jnp.where(small_t, 1.0 - theta**2 / 6.0, jnp.sin(th) / th)
-        b = jnp.where(small_t, 0.5 - theta**2 / 24.0, (1.0 - jnp.cos(th)) / th**2)
+        a = jnp.where(small_t, 1.0 - theta2 / 6.0, jnp.sin(th) / th)
+        b = jnp.where(small_t, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(th)) / th**2)
         R = eye + a[..., None, None] * Om + b[..., None, None] * Om2
 
         W = _sim3_W(omega, sigma)

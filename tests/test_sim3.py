@@ -56,3 +56,40 @@ def test_scale_action():
     S = Sim3.exp(jnp.asarray([0.0, 0, 0, 0, 0, 0, np.log(2.0)]))
     out = np.asarray(S.apply(jnp.asarray([1.0, 2.0, 3.0])))
     np.testing.assert_allclose(out, [2.0, 4.0, 6.0], atol=1e-9)
+
+
+def test_exp_matches_matrix_exponential():
+    """Sim3.exp against a brute-force 4x4 matrix exponential of the
+    generator [[skew(omega)+sigma*I, upsilon],[0,0]] (the exp/log roundtrip
+    tests alone cannot catch a wrong W coupling: log inverts with the same
+    W, so they are self-consistent even when W is wrong)."""
+    from scipy.linalg import expm
+
+    from cube_slam_wu_tpu.core import rotations as rot
+
+    rng = np.random.default_rng(0)
+    tangents = [
+        np.array([0.3, -0.2, 0.5, 1.0, 2.0, -0.5, 0.4]),
+        np.array([1e-6, 2e-6, -1e-6, 0.3, -0.2, 0.1, 1e-7]),
+        np.array([0.5, 0.1, -0.3, 1.0, 0.0, 0.0, 0.0]),
+        np.array([0.0, 0.0, 0.0, 0.5, -1.0, 2.0, -0.3]),
+    ] + [rng.normal(size=7) * 0.5 for _ in range(4)]
+    for tan in tangents:
+        om, up, sg = tan[:3], tan[3:6], tan[6]
+        Om = np.array(
+            [[0, -om[2], om[1]], [om[2], 0, -om[0]], [-om[1], om[0], 0]]
+        )
+        G = np.zeros((4, 4))
+        G[:3, :3] = Om + sg * np.eye(3)
+        G[:3, 3] = up
+        M = expm(G)
+        s_ref = np.cbrt(np.linalg.det(M[:3, :3]))
+        R_ref = M[:3, :3] / s_ref
+        ours = Sim3.exp(jnp.asarray(tan))
+        np.testing.assert_allclose(float(ours.scale), s_ref, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(rot.quat_to_rot(ours.quat)), R_ref, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours.trans), M[:3, 3], atol=1e-9
+        )
