@@ -19,7 +19,13 @@ from cube_slam_wu_tpu.core import rotations as rot
 from cube_slam_wu_tpu.core.se3 import SE3
 
 # Unit-cube corner table, columns are corners 1..8 (g2o_Object.h:169-171).
-_CORNERS_BODY = jnp.asarray(
+# Kept as a host constant: a module-level jnp.asarray would initialise the
+# XLA backend at import time, which breaks jax.distributed.initialize's
+# initialize-before-any-JAX-call requirement in multi-process workers
+# (parallel/multihost.py).
+import numpy as _np
+
+_CORNERS_BODY = _np.asarray(
     [
         [1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0],
         [1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0],
@@ -105,7 +111,7 @@ class Cuboid(NamedTuple):
     # -- geometry -----------------------------------------------------------
     def corners_3d(self) -> jnp.ndarray:
         """World-frame corners (..., 3, 8) (g2o_Object.h:165-178)."""
-        body = _CORNERS_BODY.astype(self.scale.dtype)
+        body = jnp.asarray(_CORNERS_BODY, self.scale.dtype)
         scaled = self.scale[..., :, None] * body  # (..., 3, 8)
         R = self.pose.rotation_matrix()
         return R @ scaled + self.pose.trans[..., :, None]

@@ -342,3 +342,46 @@ def write_kitti_sequence(seq: SynthSequence, out_dir, detections_subdir="detecti
         Image.fromarray(img).save(img_dir / f"{i:06d}.png")
         np.savetxt(det_dir / f"{i:06d}.txt", det, fmt="%.3f")
     return out, det_dir, poses_path
+
+
+def proposal_demo_inputs(dtype, img_hw=(192, 256), n_lines=16):
+    """Rendered cuboid scene + ground-truth edge segments packaged as
+    `detect_cuboid_single` inputs (gray, K, T_wc, bbox, lines, mask).
+
+    Used by the multi-chip dryrun and the multi-process validation worker:
+    the proposal grid produces a VALID winner on this scene (random noise
+    yields none, which would make sharded==single checks vacuous)."""
+    import jax.numpy as jnp
+
+    H, W = img_hw
+    obj = SynthObject(
+        np.array([0.3, 3.8, 0.42]), 0.45, np.array([0.55, 0.4, 0.42])
+    )
+    T = camera_pose(0.0)
+    K_np = np.array(
+        [[0.75 * W, 0, W / 2.0], [0, 0.75 * W, H / 2.0 - 0.05 * H], [0, 0, 1.0]]
+    )
+    img = render_frame(T, [obj], K_np, img_hw)
+    det = detect_objects(T, [obj], K_np, img_hw, noise_px=0.0, min_height_px=10)
+    assert len(det) == 1, "synth object must be fully visible"
+    cw = _corners_world(obj)
+    R_cw = T[:3, :3].T
+    cc = cw @ R_cw.T + (-R_cw @ T[:3, 3])[None, :]
+    uv = cc @ K_np.T
+    uv = uv[:, :2] / uv[:, 2:3]
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7), (7, 4),
+             (0, 4), (1, 5), (2, 6), (3, 7)]
+    lines = np.zeros((n_lines, 4))
+    for k, (a, b) in enumerate(edges):
+        lines[k] = [*uv[a], *uv[b]]
+    mask = np.zeros(n_lines, bool)
+    mask[: len(edges)] = True
+    bbox = np.array([det[0, 0] - 1.0, det[0, 1] - 1.0, det[0, 2], det[0, 3]])
+    return (
+        jnp.asarray(img.astype(np.float64), dtype),
+        jnp.asarray(K_np, dtype),
+        jnp.asarray(T, dtype),
+        jnp.asarray(bbox, dtype),
+        jnp.asarray(lines, dtype),
+        jnp.asarray(mask),
+    )
