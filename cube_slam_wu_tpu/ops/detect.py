@@ -411,6 +411,7 @@ def detect_line_segments_octaves(
     gray: jnp.ndarray,
     cfg: DetectConfig = DetectConfig(),
     n_octaves: int = 1,
+    return_octaves: bool = False,
 ):
     """Multi-octave detection (numOfOctave_ / Octave_ratio = 2 semantics of
     the reference wrapper, line_lbd_allclass.cpp:114-127): detect on each
@@ -423,7 +424,11 @@ def detect_line_segments_octaves(
     main_obj.cpp defaults), so this is library-capability parity; coarser
     octaves add long low-frequency structures the full-res pass fragments.
 
-    Returns (lines (n_octaves * K, 4), mask) in octave-0 coordinates.
+    Returns (lines (n_octaves * K, 4), mask) in octave-0 coordinates;
+    with `return_octaves`, also the (K,) int32 octave index each segment
+    was detected in (the provenance `lbd_descriptors_octaves` needs to
+    compute descriptors on the originating octave image, matching
+    detect_descrip_lines_octaves, line_lbd_allclass.cpp:296-349).
     """
     per_octave = []
     img = gray
@@ -443,6 +448,9 @@ def detect_line_segments_octaves(
         if o + 1 < n_octaves:
             img = downsample2(img)
     if n_octaves == 1:
+        if return_octaves:
+            lines0, mask0 = per_octave[0]
+            return lines0, mask0, jnp.zeros((lines0.shape[0],), jnp.int32)
         return per_octave[0]
     # cross-octave dedupe with FINE priority (OctaveKeyLines keeps the
     # higher-resolution observation of a structure): fine-octave lines pass
@@ -490,4 +498,7 @@ def detect_line_segments_octaves(
     _, out_idx = jax.lax.top_k(
         jnp.where(lens > 0, lens + BIG * (oct_id == 0), 0.0), K
     )
-    return lines[out_idx], mask[out_idx] & (lens[out_idx] > 0)
+    out_mask = mask[out_idx] & (lens[out_idx] > 0)
+    if return_octaves:
+        return lines[out_idx], out_mask, oct_id[out_idx].astype(jnp.int32)
+    return lines[out_idx], out_mask

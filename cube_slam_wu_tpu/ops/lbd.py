@@ -177,6 +177,48 @@ def lbd_descriptors(
     return flat.reshape(-1, NUM_BANDS * 8), mask
 
 
+def lbd_descriptors_octaves(
+    gray: jnp.ndarray,
+    lines: jnp.ndarray,
+    mask: jnp.ndarray,
+    octaves: jnp.ndarray,
+    n_octaves: int,
+    max_len: int = 160,
+):
+    """LBD descriptors computed on each segment's ORIGINATING octave image
+    (detect_descrip_lines_octaves semantics, line_lbd_allclass.cpp:296-349:
+    the reference runs computeLBD per pyramid level; descriptors of a
+    coarse-octave segment must come from the coarse image, where its
+    support region is the structure the detector actually saw).
+
+    Args:
+      gray: (H, W) base image; the pyramid is rebuilt with the same
+        `downsample2` the detector used.
+      lines: (L, 4) in OCTAVE-0 coordinates (as returned by
+        detect_line_segments_octaves); octaves: (L,) int32 provenance from
+        `return_octaves=True`; n_octaves: static pyramid depth.
+
+    Returns (desc (L, 72), valid (L,)).
+    """
+    from cube_slam_wu_tpu.ops.detect import downsample2
+
+    if n_octaves == 1:
+        return lbd_descriptors(gray, lines, mask, max_len=max_len)
+    desc = None
+    img = gray
+    for o in range(n_octaves):
+        scale = float(2**o)
+        # inverse of the detector's pixel-centre mapping
+        # x_full = scale * x_o + (scale - 1) / 2
+        lines_o = (lines - (scale - 1.0) / 2.0) / scale
+        sel = octaves == o
+        d_o, _ = lbd_descriptors(img, lines_o, mask & sel, max_len=max_len)
+        desc = d_o if desc is None else jnp.where(sel[:, None], d_o, desc)
+        if o + 1 < n_octaves:
+            img = downsample2(img)
+    return desc, mask
+
+
 def binarize_lbd(desc: jnp.ndarray) -> jnp.ndarray:
     """72-float LBD -> 256-bit binary as (L, 8) uint32 words
     (binaryConversion semantics: bit j of pair p set iff

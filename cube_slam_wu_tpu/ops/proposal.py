@@ -96,12 +96,6 @@ class ProposalConfig:
     # Bilinear is smooth (noise ~1e-5) and strictly more accurate; the
     # online pipeline enables it, parity tests keep the reference behaviour.
     bilinear_dist: bool = False
-    # Run the per-hypothesis pipeline (corner chain + validity + angle score
-    # + 2D->3D lift) as ONE fused Pallas kernel per configuration
-    # (ops/proposal_fused.py) instead of ~200 small XLA kernels.  Numerically
-    # equivalent to the unfused path (gated by tests/test_proposal_fused.py);
-    # on CPU backends the kernel runs in interpreter mode.
-    fused_kernel: bool = False
     # Compact the chamfer-score gather to the VALID hypotheses only.  Score
     # fusion and ranking never read the edge-distance of an invalid
     # hypothesis (fuse_normalized_scores masks with +inf), so gathering the
@@ -815,23 +809,21 @@ def hypothesis_grid(
 
         blocks = []
         for config_id in config_ids:
-            if cfg.fused_kernel:
-                from cube_slam_wu_tpu.ops import proposal_fused
-
-                (cx, cy, vp1_pos, valid, angle, px, py, pz, lh, wh, hh) = (
-                    proposal_fused.hypothesis_block_fused(
-                        vp, c1x, geom, config_id, cfg.shorted_edge_thre,
-                        ang_a, ang_b, has, Kinv, Twc_soa, plane,
-                        top_ok_f & sample_valid & rp_valid_f,
-                    )
-                )
-            else:
-                cx, cy, vp1_pos, valid = _corner_chain(
-                    vp, c1x, c1y, geom, config_id, cfg.shorted_edge_thre
-                )
-                valid &= top_ok_f & sample_valid & rp_valid_f
-                angle = _edge_angle_score(ang_a, ang_b, has, cx, cy, config_id)
-                px, py, pz, lh, wh, hh = _lift_soa(cx, cy, Kinv, Twc_soa, plane)
+            # NOTE on fusion: a hand-fused Pallas kernel for this block was
+            # built and benchmarked in round 2 at 0.99x (scratch/
+            # fused_bench.log) and removed: the block's cost is ~95% chamfer
+            # GATHER (scratch/stage_ablate.log), the TPU has no vectorized
+            # arbitrary gather for Pallas to exploit (VMEM residency does
+            # not change the ~10 ns/element rate, scratch/gather_bench.log:
+            # an 8x128 map gathers no faster than 480x640), and XLA already
+            # fuses the surrounding elementwise work.  bench.py prints the
+            # gather-roofline model next to the measured time.
+            cx, cy, vp1_pos, valid = _corner_chain(
+                vp, c1x, c1y, geom, config_id, cfg.shorted_edge_thre
+            )
+            valid &= top_ok_f & sample_valid & rp_valid_f
+            angle = _edge_angle_score(ang_a, ang_b, has, cx, cy, config_id)
+            px, py, pz, lh, wh, hh = _lift_soa(cx, cy, Kinv, Twc_soa, plane)
             cap = (
                 cfg.dist_gather_cap if config_id == 1 else cfg.dist_gather_cap2
             )

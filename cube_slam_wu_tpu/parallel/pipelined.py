@@ -43,11 +43,20 @@ def make_pipelined_frontend(
     dtype=jnp.float32,
     axis_name: str | None = None,
 ):
-    """Build `fn(grays (T, H, W), bboxes (T, 4)) -> ProposalResult (T, ...)`
-    running the detect|propose pipeline over the first 2 devices of `mesh`'s
-    `axis_name` axis.  Matches the sequential per-frame glue of
-    `pipeline.run_online_frontend` (detection in f32, proposal in `dtype`,
-    max_lines = detector capacity)."""
+    """Build `fn(grays (T, H, W), bboxes (T, 4)[, T_wcs (T, 4, 4)]) ->
+    ProposalResult (T, ...)` running the detect|propose pipeline over the
+    first 2 devices of `mesh`'s `axis_name` axis.  Matches the sequential
+    per-frame glue of `pipeline.run_online_frontend` (detection in f32,
+    proposal in `dtype`, max_lines = detector capacity).
+
+    `T_wcs` (optional) gives each frame its OWN camera pose, serving the
+    interleaved `pose_feedback` mode where the proposal grid anchors at the
+    tracker's constant-velocity predicted pose: prediction for frame t
+    needs only the back-end state through frame t-1, which is ready while
+    stage 0 is still detecting frame t+1 — so per-frame poses keep the
+    2-stage overlap intact (the driver rolls predictions a chunk ahead,
+    local-BAs per chunk).  Omitted, every frame uses `T_wc_np` (the
+    reference's static-pose TUM schedule, main_obj.cpp:624-628)."""
     axis = axis_name or mesh.axis_names[0]
     S = mesh.shape[axis]
     if S != N_STAGES:
@@ -64,7 +73,7 @@ def make_pipelined_frontend(
     Kj = jnp.asarray(K_np, dtype)
     Tj = jnp.asarray(T_wc_np, dtype)
 
-    def program(grays, bboxes):
+    def program(grays, bboxes, T_wcs):
         T = grays.shape[0]
         sid = jax.lax.axis_index(axis)
         # the replicated frame stream is consumed at device-varying indices
@@ -72,13 +81,14 @@ def make_pipelined_frontend(
         # while_loops see mixed varying/unvarying carries and fail typing
         grays = jax.lax.pcast(grays, axis, to="varying")
         bboxes = jax.lax.pcast(bboxes, axis, to="varying")
+        T_wcs = jax.lax.pcast(T_wcs, axis, to="varying")
         zero_res = jax.tree.map(
             lambda s: jax.lax.pcast(
                 jnp.zeros(s.shape, s.dtype), axis, to="varying"
             ),
             jax.eval_shape(
                 lambda g, b, l, m: detect_cuboid_single(
-                    g, Kj, Tj, b, l, m, prop_cfg
+                    g, Kj, T_wcs[0], b, l, m, prop_cfg
                 ),
                 grays[0],
                 bboxes[0],
@@ -92,6 +102,7 @@ def make_pipelined_frontend(
             item = jnp.clip(t - sid, 0, T - 1)
             gray = grays[item]
             bbox = bboxes[item]
+            T_pose = T_wcs[item]
 
             def s_detect(_):
                 l32, m = detect_line_segments(
@@ -101,7 +112,7 @@ def make_pipelined_frontend(
 
             def s_propose(_):
                 res = detect_cuboid_single(
-                    gray, Kj, Tj, bbox, lines_in, mask_in, prop_cfg
+                    gray, Kj, T_pose, bbox, lines_in, mask_in, prop_cfg
                 )
                 zl = jax.lax.pcast(
                     jnp.zeros((L, 4), dtype), axis, to="varying"
@@ -130,7 +141,7 @@ def make_pipelined_frontend(
         jax.shard_map(
             program,
             mesh=mesh,
-            in_specs=(P(), P()),
+            in_specs=(P(), P(), P()),
             out_specs=P(axis),
             # the stages call the Pallas EDT kernel, whose out_shape has no
             # varying-mesh-axes annotation; vma checking rejects it (the
@@ -139,9 +150,15 @@ def make_pipelined_frontend(
         )
     )
 
-    def run(grays, bboxes):
+    def run(grays, bboxes, T_wcs=None):
         T = int(grays.shape[0])
-        ys = sharded(jnp.asarray(grays, dtype), jnp.asarray(bboxes, dtype))
+        if T_wcs is None:
+            T_wcs = jnp.broadcast_to(Tj, (T, 4, 4))
+        ys = sharded(
+            jnp.asarray(grays, dtype),
+            jnp.asarray(bboxes, dtype),
+            jnp.asarray(T_wcs, dtype),
+        )
         # rows are concatenated over the stage axis: the LAST stage's block
         # holds the results; within it, frame t completes at tick t + S - 1
         n_ticks = T + N_STAGES - 1

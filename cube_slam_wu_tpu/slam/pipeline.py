@@ -769,6 +769,8 @@ def run_kitti_slam(
     point_weight: float = 0.0,
     n_points: int = 96,
     point_opts: dict | None = None,
+    line_track_weight: float = 0.0,
+    line_track_gate: float = 80.0,
 ):
     """Multi-object online SLAM over a KITTI-odometry-layout sequence
     (BASELINE config 5; the reference's capability class per its paper,
@@ -845,6 +847,8 @@ def run_kitti_slam(
             point_weight=point_weight,
             n_points=n_points,
             point_opts=point_opts,
+            line_track_weight=line_track_weight,
+            line_track_gate=line_track_gate,
         )
 
     if seq.poses_T_wc is not None:
@@ -932,6 +936,8 @@ def _run_kitti_tracked(
     point_weight: float = 0.0,
     n_points: int = 96,
     point_opts: dict | None = None,
+    line_track_weight: float = 0.0,
+    line_track_gate: float = 80.0,
 ):
     """Interleaved front-end/back-end loop (see run_kitti_slam docstring):
     one jit-compiled tracker step per frame, with the next frame's proposal
@@ -1020,6 +1026,13 @@ def _run_kitti_tracked(
     chi2s = np.zeros(n)
     cube_hist = np.zeros((n, O, 9))
     start_frame = 0
+    # frame-to-frame LBD line tracking state (quality modulation; mirrors
+    # run_online_frontend's line_track_weight block)
+    prev_lines32 = prev_lmask = prev_desc = None
+    line_matched = None
+    mids32 = None
+    if line_track_weight > 0.0:
+        from cube_slam_wu_tpu.ops import lbd as lbd_ops
 
     if checkpoint_path is not None:
         from cube_slam_wu_tpu.slam import checkpoint as ckpt
@@ -1124,6 +1137,23 @@ def _run_kitti_tracked(
             lines32, lmask = detect_line_segments(
                 gray.astype(jnp.float32), detect_cfg
             )
+            if line_track_weight > 0.0:
+                line_matched = None
+                desc, dvalid = lbd_ops.lbd_descriptors(
+                    gray.astype(jnp.float32), lines32, lmask
+                )
+                dvalid = dvalid & lmask
+                if prev_desc is not None:
+                    _, _, matched_j = lbd_ops.l2_match(
+                        desc, prev_desc, dvalid, prev_lmask,
+                        query_lines=lines32, train_lines=prev_lines32,
+                        max_midpoint_dist=line_track_gate,
+                    )
+                    line_matched = np.asarray(matched_j)
+                    mids32 = np.asarray(
+                        0.5 * (lines32[:, 0:2] + lines32[:, 2:4])
+                    )
+                prev_lines32, prev_lmask, prev_desc = lines32, dvalid, desc
             cfg = ProposalConfig(
                 max_lines=int(lines32.shape[0]),
                 sample_cam_roll_pitch=(i != 0),
@@ -1216,6 +1246,26 @@ def _run_kitti_tracked(
                 if range_weight_m is not None:
                     quality_i[o] *= min(
                         1.0, (range_weight_m / max(rng_d, 1e-6)) ** 2
+                    )
+                if line_track_weight > 0.0 and line_matched is not None:
+                    # fraction of the detection ROI's lines with a
+                    # frame-to-frame descriptor match: unstable line sets
+                    # imply an unstable proposal (run_online_frontend's
+                    # identical block)
+                    x0b, y0b, x1b, y1b = np.asarray(boxes_c)[d]
+                    mx, my = (x0b + x1b) / 2, (y0b + y1b) / 2
+                    hw = (x1b - x0b) * 0.6 + 10
+                    hh = (y1b - y0b) * 0.6 + 10
+                    roi = (
+                        np.asarray(lmask)
+                        & (np.abs(mids32[:, 0] - mx) < hw)
+                        & (np.abs(mids32[:, 1] - my) < hh)
+                    )
+                    cons = (
+                        float(line_matched[roi].mean()) if roi.any() else 0.0
+                    )
+                    quality_i[o] *= (1.0 - line_track_weight) + (
+                        line_track_weight * cons
                     )
                 x0b, y0b, x1b, y1b = np.asarray(boxes_c)[d]
                 bbox_i[o] = [

@@ -174,3 +174,31 @@ def test_octave_single_equals_base():
     l1, m1 = detect_line_segments_octaves(jnp.asarray(img), n_octaves=1)
     np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
     np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+
+
+def test_short_band_recall_quantified(reference_root):
+    """15-40 px recall (VERDICT r2 item 8): the reference wrapper keeps
+    every segment > 15 px (line_lbd_allclass.h:32-35), so the short band
+    needs a number.  Defaults trade short-segment recall for the online
+    latency the ATE numbers are pinned to; the high-recall config (more
+    Hough peaks + runs) is the documented knob for cluttered scenes.
+    Measured on the demo fixture vs the reference LSD's own output:
+    default 0.54 / high-recall 0.62 in (15,40], with >40 px recall 0.94 /
+    0.95 (COVERAGE.md)."""
+    base = reference_root / "detect_3d_cuboid/data"
+    gray = uio.load_image_gray(base / "0000_rgb_raw.jpg")
+    ref = uio.read_number_txt(base / "edge_detection/LSD/0000_edge.txt")
+    lens = np.hypot(ref[:, 2] - ref[:, 0], ref[:, 3] - ref[:, 1])
+    band = ref[(lens > 15) & (lens <= 40)]
+
+    def band_recall(cfg):
+        lines = _detected(gray, cfg)
+        hits = sum(any(_match(l, r) for l in lines) for r in band)
+        return hits / len(band)
+
+    r_default = band_recall(DetectConfig())
+    assert r_default >= 0.50, r_default
+    high = DetectConfig(n_peaks=512, runs_per_peak=8, max_output=512)
+    r_high = band_recall(high)
+    assert r_high >= 0.58, r_high
+    assert r_high > r_default

@@ -127,3 +127,74 @@ def test_l2_match_midpoint_gate():
     assert np.array_equal(np.asarray(idx), np.full(4, 2))
     assert bool(ok[2])  # exact self-match survives
     assert not np.asarray(ok)[[0, 1, 3]].any()  # mutual check kills the rest
+
+
+def test_octave_descriptors_match_per_octave_computation():
+    """lbd_descriptors_octaves must equal plain lbd_descriptors evaluated
+    on each segment's originating pyramid level with octave-local
+    coordinates (detect_descrip_lines_octaves, line_lbd_allclass.cpp:
+    296-349)."""
+    from cube_slam_wu_tpu.ops.detect import downsample2
+    from cube_slam_wu_tpu.ops.lbd import lbd_descriptors, lbd_descriptors_octaves
+
+    rng = np.random.default_rng(5)
+    img = rng.normal(size=(128, 192)) * 20 + 120
+    img[40:42, 20:120] = 250.0  # horizontal bar -> strong line support
+    img[60:100, 90:92] = 10.0
+    gray = jnp.asarray(img)
+
+    L = 6
+    lines = np.zeros((L, 4))
+    lines[0] = [20, 41, 119, 41]       # octave 0
+    lines[1] = [90.5, 60, 90.5, 99]    # octave 0
+    lines[2] = [20, 41, 118, 41]       # octave 1 (coords in octave-0 px)
+    lines[3] = [90.5, 60, 90.5, 98]    # octave 1
+    mask = np.zeros(L, bool); mask[:4] = True
+    octs = np.array([0, 0, 1, 1, 0, 0], np.int32)
+
+    desc, valid = lbd_descriptors_octaves(
+        gray, jnp.asarray(lines), jnp.asarray(mask), jnp.asarray(octs),
+        n_octaves=2, max_len=64,
+    )
+    np.testing.assert_array_equal(np.asarray(valid), mask)
+
+    # octave-0 rows == direct base-image descriptors
+    d0, _ = lbd_descriptors(gray, jnp.asarray(lines), jnp.asarray(mask), max_len=64)
+    np.testing.assert_allclose(np.asarray(desc)[:2], np.asarray(d0)[:2], atol=1e-12)
+
+    # octave-1 rows == descriptors on the downsampled image at scaled coords
+    half = downsample2(gray)
+    lines_h = (lines - 0.5) / 2.0
+    d1, _ = lbd_descriptors(half, jnp.asarray(lines_h), jnp.asarray(mask), max_len=64)
+    np.testing.assert_allclose(np.asarray(desc)[2:4], np.asarray(d1)[2:4], atol=1e-12)
+    # and they differ from what the base image would give (the coarse
+    # structure is genuinely different support)
+    assert np.abs(np.asarray(desc)[2] - np.asarray(d0)[2]).max() > 1e-6
+
+
+def test_octave_provenance_from_detector():
+    """detect_line_segments_octaves(return_octaves=True) provenance feeds
+    straight into lbd_descriptors_octaves."""
+    from cube_slam_wu_tpu.ops.detect import (
+        DetectConfig,
+        detect_line_segments_octaves,
+    )
+    from cube_slam_wu_tpu.ops.lbd import lbd_descriptors_octaves
+
+    rng = np.random.default_rng(6)
+    img = rng.normal(size=(128, 192)) * 5 + 120
+    img[40:43, 10:180] = 250.0
+    gray = jnp.asarray(img.astype(np.float32))
+    cfg = DetectConfig(n_peaks=64, runs_per_peak=4, max_output=128)
+    lines, mask, octs = detect_line_segments_octaves(
+        gray, cfg, n_octaves=2, return_octaves=True
+    )
+    assert octs.shape == (lines.shape[0],)
+    assert bool(np.asarray(mask).any())
+    desc, valid = lbd_descriptors_octaves(
+        gray, lines, mask, octs, n_octaves=2, max_len=64
+    )
+    d = np.asarray(desc)[np.asarray(valid)]
+    assert np.isfinite(d).all()
+    norms = np.linalg.norm(d, axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
