@@ -148,6 +148,61 @@ def main():
         sec_prod = sec_per_frame
         _log(f"production-config bench skipped: {e}")
 
+    # ---- roofline: speed-of-light model vs measured ------------------------
+    # The proposal grid is ~95% chamfer gather (scratch/stage_ablate.log:
+    # 23 ms -> 1.3 ms without the dist gathers), and TPU gathers are
+    # rate-bound per ELEMENT (scratch/gather_bench.log: same ns/elem for an
+    # 8x128 map as for 480x640, i.e. VMEM residency does not help — which is
+    # why the hand-fused Pallas attempt measured 0.99x and was removed).
+    # Model: elements_gathered x measured take-rate.
+    try:
+        npx = int(gray.shape[0]) * int(gray.shape[1])
+        flat_map = jnp.asarray(
+            np.random.default_rng(2).random(npx).astype(np.float32), dtype
+        )
+        # parity config taps: 11 samples x 9 edges (config 1, capped) +
+        # 11 x 7 (config 2, capped)
+        elems = cfg.dist_gather_cap * 99 + cfg.dist_gather_cap2 * 77
+        idx_np = np.random.default_rng(3).integers(0, npx, size=elems)
+        idx0 = jnp.asarray(idx_np, jnp.int32)
+
+        def make_gather_loop(n):
+            @jax.jit
+            def run():
+                def body(carry, _):
+                    idx = (idx0 + carry) % npx
+                    v = jnp.take(flat_map, idx)
+                    return carry + 1 + (jnp.sum(v) * 0.0).astype(jnp.int32), None
+
+                out, _ = jax.lax.scan(
+                    body, jnp.asarray(0, jnp.int32), None, length=n
+                )
+                return out
+
+            return run
+
+        sec_gather = _timed_loop(make_gather_loop)
+        rate_ns = sec_gather / elems * 1e9
+        model_parity_ms = elems * rate_ns * 1e-6
+        model_prod_ms = 2 * elems * rate_ns * 1e-6  # bilinear: 2 packed rows
+        _log(
+            f"roofline[gather]: measured take-rate {rate_ns:.2f} ns/elem; "
+            f"proposal parity model {model_parity_ms:.2f} ms "
+            f"({elems} elems) vs measured {sec_per_frame * 1e3:.2f} ms "
+            f"-> {100 * model_parity_ms / (sec_per_frame * 1e3):.0f}% of "
+            f"gather-roofline; production model {model_prod_ms:.2f} ms vs "
+            f"{sec_prod * 1e3:.2f} ms "
+            f"-> {100 * model_prod_ms / (sec_prod * 1e3):.0f}%"
+        )
+        _log(
+            "roofline[BA]: F=64 graph is n=393 unknowns, r=1216 residuals "
+            "-> ~4e8 flops/iter = ~8 us MXU floor; measured ms/iter below "
+            "is the small-graph latency-bound regime (hundreds of tiny "
+            "kernels), not a compute ceiling"
+        )
+    except Exception as e:
+        _log(f"roofline probes skipped: {e}")
+
     # ---- secondary: BA ms/iter -------------------------------------------
     try:
         from cube_slam_wu_tpu.core.cuboid import Cuboid
@@ -220,12 +275,93 @@ def main():
 
         det_ms = _timed_loop(make_detect_loop, n_lo=2, n_hi=8) * 1e3
         online_ms = det_ms + sec_prod * 1e3  # the online path runs cfg_prod
+        pp_ms = max(det_ms, sec_prod * 1e3)
         _log(
             f"line detector: {det_ms:.1f} ms/frame; online front-end "
-            f"(detect + proposal): {online_ms:.1f} ms -> {1e3 / online_ms:.1f} frames/s/chip"
+            f"(detect + proposal): {online_ms:.1f} ms -> {1e3 / online_ms:.1f} frames/s/chip; "
+            f"2-chip detect|propose pipeline (parallel/pipelined.py, "
+            f"per-frame poses -> serves the interleaved production config): "
+            f"steady-state 1/max(stages) = {1e3 / pp_ms:.1f} frames/s"
         )
     except Exception as e:
         _log(f"detector bench skipped: {e}")
+
+    # ---- end-to-end online SLAM step (VERDICT r2 item 3) -------------------
+    # The full production loop on hardware: per frame, line detection +
+    # batched proposals at the predicted pose + host-side association +
+    # fixed-lag windowed BA — the loop the reference's
+    # incremental_build_graph corresponds to (main_obj.cpp:541-835), wall
+    # clock inclusive of host glue and host<->device transfers.
+    try:
+        import shutil
+        import tempfile
+
+        from cube_slam_wu_tpu.slam import pipeline
+        from cube_slam_wu_tpu.utils import synth
+        from cube_slam_wu_tpu.utils.metrics import ate_rmse
+
+        n_e2e = 60
+        seq = synth.make_sequence(
+            n_frames=n_e2e, n_objects=4, size=(480, 640), speed=0.8,
+            noise_px=0.5,
+        )
+        tmp = tempfile.mkdtemp(prefix="cubeslam_e2e_")
+        try:
+            out_dir, det_dir, poses_path = synth.write_kitti_sequence(
+                seq, tmp + "/seq"
+            )
+            # production config: interleaved + joint point BA (the committed
+            # KITTI artifact's configuration)
+            kw = dict(
+                max_objects=6, max_detections=4, window=16,
+                pose_feedback=True, dtype=jnp.float32, min_meas=1,
+                point_weight=0.3,
+            )
+            # RTT probe: the session tunnels to the TPU through a relay;
+            # every host<->device sync pays this.  Report it so the e2e
+            # number can be read against a locally-attached deployment.
+            trivial = jax.jit(lambda x: x + 1.0)
+            float(np.asarray(trivial(jnp.asarray(1.0, dtype))))
+            rtts = []
+            for _ in range(10):
+                t0 = time.perf_counter()
+                float(np.asarray(trivial(jnp.asarray(1.0, dtype))))
+                rtts.append(time.perf_counter() - t0)
+            rtt_ms = 1e3 * float(np.median(rtts))
+
+            # f32 matmul precision: the TPU's default bf16 matmul passes
+            # degrade the BA solves enough to drift the trajectory
+            # (measured: ATE 9.7 m vs 0.7 m on the same world); production
+            # serving runs the back-end at full f32 accumulation — the
+            # matmuls here are microseconds, so this costs no throughput
+            with jax.default_matmul_precision("highest"):
+                # warm-up run compiles every per-frame variant; the
+                # measured run then reflects steady-state serving.  Must
+                # exceed the window so the windowed point step compiles.
+                pipeline.run_kitti_slam(
+                    out_dir, det_dir, poses_path, n_frames=20, **kw
+                )
+                t0 = time.perf_counter()
+                result = pipeline.run_kitti_slam(
+                    out_dir, det_dir, poses_path, n_frames=n_e2e, **kw
+                )
+                wall = time.perf_counter() - t0
+            e2e_fps = n_e2e / wall
+            ate = ate_rmse(
+                np.asarray(result.traj_Twc_xyzq)[:, :3],
+                seq.T_wc[:n_e2e, :3, 3],
+            )
+            _log(
+                f"end-to-end online SLAM (detect+propose+associate+window-BA"
+                f", {n_e2e} frames, interleaved): {wall / n_e2e * 1e3:.0f} "
+                f"ms/frame -> {e2e_fps:.2f} frames/s/chip wall-clock "
+                f"(ATE {ate:.3f} m; device RTT via relay {rtt_ms:.1f} ms "
+                f"x ~8 syncs/frame is tunnel overhead, not kernel time)"
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    except Exception as e:
+        _log(f"end-to-end bench skipped: {e}")
 
     print(
         json.dumps(

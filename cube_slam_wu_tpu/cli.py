@@ -221,6 +221,57 @@ def cmd_detect_lines(args):
     print(f"{len(lines)} lines -> {out_dir}/saved_edges.txt|jpg")
 
 
+def cmd_match_lines(args):
+    """Two-image line matching demo (the reference's match_line_descrip
+    usage, line_lbd_allclass.cpp:352-369): detect + LBD descriptors on both
+    frames, Hamming-match the binarized codes, write a drawLineMatches-style
+    side-by-side visualization."""
+    for path in (args.image_a, args.image_b):
+        if not pathlib.Path(path).is_file():
+            raise SystemExit(f"error: image {path!r} not found")
+    import jax.numpy as jnp
+
+    from cube_slam_wu_tpu.ops.detect import detect_line_segments
+    from cube_slam_wu_tpu.ops.lbd import (
+        binarize_lbd,
+        lbd_descriptors,
+        match_lines_filtered,
+    )
+    from cube_slam_wu_tpu.utils import io as uio
+    from cube_slam_wu_tpu.utils import viz
+
+    ga = jnp.asarray(uio.load_image_gray(args.image_a), jnp.float32)
+    gb = jnp.asarray(uio.load_image_gray(args.image_b), jnp.float32)
+    la, ma = detect_line_segments(ga)
+    lb, mb = detect_line_segments(gb)
+    da, va = lbd_descriptors(ga, la, ma)
+    db, vb = lbd_descriptors(gb, lb, mb)
+    idx, dist, matched = match_lines_filtered(
+        binarize_lbd(da), binarize_lbd(db), va & ma, vb & mb,
+        max_dist=args.max_dist,
+    )
+    n = int(np.asarray(matched).sum())
+    out_dir = pathlib.Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    img = viz.draw_line_matches(
+        uio.load_image_rgb(args.image_a), np.asarray(la),
+        uio.load_image_rgb(args.image_b), np.asarray(lb),
+        np.asarray(idx), np.asarray(matched),
+    )
+    from PIL import Image
+
+    Image.fromarray(img).save(out_dir / "line_matches.jpg")
+    rows = np.column_stack(
+        [
+            np.nonzero(np.asarray(matched))[0],
+            np.asarray(idx)[np.asarray(matched)],
+            np.asarray(dist)[np.asarray(matched)],
+        ]
+    )
+    np.savetxt(out_dir / "line_matches.txt", rows, fmt="%d")
+    print(f"{n} matches -> {out_dir}/line_matches.jpg|txt")
+
+
 def cmd_detect_cuboid(args):
     if not pathlib.Path(args.image).is_file():
         raise SystemExit(f"error: --image {args.image!r} not found")
@@ -268,11 +319,22 @@ def cmd_detect_cuboid(args):
         sample_cam_roll_pitch=args.sample_roll_pitch,
         sample_bbox_height=args.sample_height,
         nominal_skew_ratio=args.skew,
+        max_cuboid_num=max(args.top_k, 1),
     )
     res = jax.tree.map(
         np.asarray,
         detect_cuboid_single(gray, K, T_wc, bbox, lines, mask, cfg),
     )
+    if args.top_k > 1:
+        for r in range(args.top_k):
+            print(
+                f"rank {r}: valid={bool(res.valid[r])} "
+                f"pos={np.round(res.pos[r], 4)} "
+                f"scale={np.round(res.scale[r], 4)} "
+                f"rotY={float(res.rotY[r]):.4f} "
+                f"err={float(res.normalized_error[r]):.4f}"
+            )
+        res = jax.tree.map(lambda a: a[0], res)  # winner drives the overlay
     print(f"valid: {bool(res.valid)}")
     print(f"pos:   {np.round(res.pos, 4)}")
     print(f"scale: {np.round(res.scale, 4)}")
@@ -399,6 +461,15 @@ def main(argv=None):
     pl.add_argument("--out", default="out")
     pl.set_defaults(fn=cmd_detect_lines)
 
+    pm = sub.add_parser(
+        "match-lines", help="detect + LBD-match lines across two images"
+    )
+    pm.add_argument("--image-a", required=True)
+    pm.add_argument("--image-b", required=True)
+    pm.add_argument("--max-dist", type=int, default=25)
+    pm.add_argument("--out", default="out")
+    pm.set_defaults(fn=cmd_match_lines)
+
     pc = sub.add_parser("detect-cuboid", help="single-image cuboid proposal")
     pc.add_argument("--image", required=True)
     pc.add_argument("--bbox", required=True, help="x,y,w,h")
@@ -407,6 +478,9 @@ def main(argv=None):
     pc.add_argument("--pose", default=None, help="4x4 T_wc txt")
     pc.add_argument("--skew", type=float, default=1.0)
     pc.add_argument("--sample-roll-pitch", action="store_true")
+    pc.add_argument("--top-k", type=int, default=1,
+                    help="return the K best-ranked proposals "
+                         "(max_cuboid_num ObjectSet semantics)")
     pc.add_argument("--sample-height", action="store_true",
                     help="sample 3 bbox-height expansions (whether_sample_bbox_height)")
     pc.add_argument("--out", default="out")

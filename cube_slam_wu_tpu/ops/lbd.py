@@ -266,6 +266,53 @@ def hamming_match(
     return idx, best, matched
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def knn_match(
+    query_words: jnp.ndarray,
+    train_words: jnp.ndarray,
+    query_mask: jnp.ndarray,
+    train_mask: jnp.ndarray,
+    k: int = 2,
+):
+    """k-nearest-neighbour binary matching
+    (BinaryDescriptorMatcher::knnMatch, binary_descriptor_matcher.cpp:
+    216-376 — the MIH hash-table k-NN replaced by one dense XOR+popcount
+    matrix + top_k, the faster form on TPU at padded set sizes).
+
+    Returns (idx (Lq, k) train indices best-first, dist (Lq, k) int32,
+    valid (Lq, k) — False where fewer than k masked train rows exist or
+    the query is masked out)."""
+    xor = query_words[:, None, :] ^ train_words[None, :, :]
+    dist = jnp.sum(_popcount32(xor), axis=-1).astype(jnp.int32)  # (Lq, Lt)
+    big = jnp.iinfo(jnp.int32).max
+    dist = jnp.where(train_mask[None, :], dist, big)
+    neg, idx = jax.lax.top_k(-dist, k)
+    d = -neg
+    valid = query_mask[:, None] & (d < big)
+    return idx, d, valid
+
+
+@jax.jit
+def radius_match(
+    query_words: jnp.ndarray,
+    train_words: jnp.ndarray,
+    query_mask: jnp.ndarray,
+    train_mask: jnp.ndarray,
+    max_dist: int = 25,
+):
+    """All train matches within a Hamming radius per query
+    (BinaryDescriptorMatcher::radiusMatch, binary_descriptor_matcher.cpp:
+    448-597).  Dense form: returns the full (Lq, Lt) int32 distance matrix
+    and the boolean within-radius mask (padded rows/columns excluded) —
+    callers slice out per-query match lists."""
+    xor = query_words[:, None, :] ^ train_words[None, :, :]
+    dist = jnp.sum(_popcount32(xor), axis=-1).astype(jnp.int32)
+    within = (
+        (dist <= max_dist) & query_mask[:, None] & train_mask[None, :]
+    )
+    return dist, within
+
+
 @jax.jit
 def match_lines_filtered(
     query_words: jnp.ndarray,

@@ -834,6 +834,11 @@ def hypothesis_grid(
                 # Sort key: invalid last, then ascending angle error, so a
                 # binding cap sheds the least-promising hypotheses first.
                 Kc = cap
+                # valid-first, ascending angle error: while n_valid <= cap
+                # this gathers exactly the valid set; a binding cap sheds
+                # the least-promising hypotheses first.  (A cumsum+scatter
+                # partition was tried and measured 0.2 ms SLOWER on TPU —
+                # the 6k-element scatter costs more than the sort.)
                 amax = jnp.max(jnp.abs(angle)) + 1.0
                 order = jnp.argsort(
                     jnp.where(valid, angle, amax), stable=True

@@ -98,7 +98,8 @@ def _residual_vector(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iterations", "fix_first", "robust_delta")
+    jax.jit,
+    static_argnames=("iterations", "fix_first", "robust_delta", "algorithm"),
 )
 def optimize(
     graph: CameraObjectGraph,
@@ -106,17 +107,31 @@ def optimize(
     fix_first: bool = True,
     robust_delta: float | None = None,
     prior=None,
+    algorithm: str = "lm",
 ) -> BAResult:
-    """Run LM for `iterations` outer iterations (graph.optimize(k) analogue,
+    """Run `iterations` outer iterations (graph.optimize(k) analogue,
     main_obj.cpp:802-803) and return updated estimates.
 
     `robust_delta` enables a Huber kernel on every edge (norm cap in the
     residual metric); None mirrors the reference's plain least squares.
     `prior` (slam.window.CubePrior) adds the sliding-window marginalisation
-    prior on the cuboid landmarks."""
+    prior on the cuboid landmarks.
+
+    `algorithm` selects the step rule, covering the bundled g2o's three
+    OptimizationAlgorithm implementations (its driver only ever uses LM,
+    main_obj.cpp:517-519; GN/Dogleg ship unused):
+    - "lm": Levenberg-Marquardt with the g2o damping schedule (default);
+    - "gn": plain Gauss-Newton (optimization_algorithm_gauss_newton.cpp) —
+      unconditional damped-free steps, tiny diagonal regularisation only
+      for the gauge/masked block;
+    - "dogleg": Powell's dogleg trust region
+      (optimization_algorithm_dogleg.cpp): blend of the Gauss-Newton and
+      Cauchy steepest-descent steps inside an adaptive radius."""
     F = graph.capacity
     dtype = graph.cam_Tcw.trans.dtype
     n = F * 6 + graph.n_objects * 9
+    if algorithm not in ("lm", "gn", "dogleg"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
 
     def chi2_of(g: CameraObjectGraph):
         zero = jnp.zeros((n,), dtype)
@@ -133,6 +148,86 @@ def optimize(
         grad = J.T @ r0
         chi2 = jnp.sum(r0 * r0)
         return H, grad, chi2
+
+    def solve_reg(H, grad, reg_scale):
+        """Damped solve; the tiny floor also regularises the gauge/masked
+        columns (zeroed by _apply_increments) that make H singular."""
+        reg = reg_scale * jnp.maximum(jnp.max(jnp.abs(jnp.diag(H))), 1.0)
+        return -jnp.linalg.solve(H + reg * jnp.eye(n, dtype=dtype), grad)
+
+    if algorithm == "gn":
+        def gn_step(g, _):
+            H, grad, _ = linearize(g)
+            dx = solve_reg(H, grad, 1e-10)
+            cam_new, cube_new = _apply_increments(g, dx, fix_first)
+            return g._replace(cam_Tcw=cam_new, cube=cube_new), None
+
+        g_fin, _ = jax.lax.scan(gn_step, graph, None, length=iterations)
+        return BAResult(
+            cam_Tcw=g_fin.cam_Tcw,
+            cube=g_fin.cube,
+            chi2=chi2_of(g_fin),
+            lambda_final=jnp.asarray(0.0, dtype),
+        )
+
+    if algorithm == "dogleg":
+        def dl_step(state, _):
+            g, Delta, chi2 = state
+            H, grad, chi2_cur = linearize(g)
+            h_gn = solve_reg(H, grad, 1e-10)
+            gg = grad @ grad
+            gBg = grad @ (H @ grad)
+            alpha = gg / jnp.maximum(gBg, 1e-30)
+            h_sd = -alpha * grad
+            n_gn = jnp.linalg.norm(h_gn)
+            n_sd = jnp.linalg.norm(h_sd)
+            d = h_gn - h_sd
+            c = h_sd @ d
+            dd = jnp.maximum(d @ d, 1e-30)
+            disc = jnp.sqrt(
+                jnp.maximum(c * c + dd * (Delta**2 - n_sd**2), 0.0)
+            )
+            beta = jnp.where(
+                c <= 0,
+                (-c + disc) / dd,
+                (Delta**2 - n_sd**2) / jnp.maximum(c + disc, 1e-30),
+            )
+            h_blend = h_sd + jnp.clip(beta, 0.0, 1.0) * d
+            h = jnp.where(
+                n_gn <= Delta,
+                h_gn,
+                jnp.where(
+                    n_sd >= Delta,
+                    (Delta / jnp.maximum(n_sd, 1e-30)) * h_sd,
+                    h_blend,
+                ),
+            )
+            cam_new, cube_new = _apply_increments(g, h, fix_first)
+            g_new = g._replace(cam_Tcw=cam_new, cube=cube_new)
+            chi2_new = chi2_of(g_new)
+            pred = -(grad @ h + 0.5 * h @ (H @ h))
+            rho = (chi2_cur - chi2_new) / jnp.maximum(pred, 1e-30)
+            accept = (rho > 0) & jnp.isfinite(chi2_new)
+            h_norm = jnp.linalg.norm(h)
+            Delta_next = jnp.where(
+                rho > 0.75,
+                jnp.maximum(Delta, 3.0 * h_norm),
+                jnp.where(rho < 0.25, 0.5 * Delta, Delta),
+            )
+            out = jax.tree.map(lambda a, b: jnp.where(accept, a, b), g_new, g)
+            chi2_next = jnp.where(accept, chi2_new, chi2_cur)
+            return (out, Delta_next, chi2_next), None
+
+        init_dl = (graph, jnp.asarray(1e4, dtype), chi2_of(graph))
+        (g_fin, Delta_fin, chi2_fin), _ = jax.lax.scan(
+            dl_step, init_dl, None, length=iterations
+        )
+        return BAResult(
+            cam_Tcw=g_fin.cam_Tcw,
+            cube=g_fin.cube,
+            chi2=chi2_fin,
+            lambda_final=Delta_fin,
+        )
 
     H0, g0, chi2_0 = linearize(graph)
     lam0 = 1e-5 * jnp.max(jnp.abs(jnp.diag(H0)))

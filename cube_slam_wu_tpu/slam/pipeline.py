@@ -502,7 +502,9 @@ def run_online_frontend(
                     gray, K, T0_j, jnp.asarray(xywh[0], dtype), lines, lmask,
                     c, yaw_prior=_prior,
                 )
-                return jax.tree.map(lambda a: np.asarray(a)[None], r)
+                return jax.tree.map(
+                    lambda a: np.asarray(a)[None], jax.device_get(r)
+                )
 
             res = one_det(cfg)
             res, report = _exact_gather_fallback(
@@ -514,7 +516,7 @@ def run_online_frontend(
                     gray, K, T0_j, jnp.asarray(xywh, dtype),
                     jnp.asarray(dmask), lines, lmask, c,
                 )
-                return jax.tree.map(np.asarray, r)
+                return jax.device_get(r)
 
             res = many_det(cfg)
             res, report = _exact_gather_fallback(
@@ -769,7 +771,7 @@ def run_kitti_slam(
     point_weight: float = 0.0,
     n_points: int = 96,
     point_opts: dict | None = None,
-    line_track_weight: float = 0.0,
+    line_track_weight="auto",
     line_track_gate: float = 80.0,
 ):
     """Multi-object online SLAM over a KITTI-odometry-layout sequence
@@ -823,6 +825,19 @@ def run_kitti_slam(
     if point_weight > 0.0 and not pose_feedback:
         raise ValueError(
             "point_weight > 0 needs the interleaved loop (pose_feedback=True)"
+        )
+    if isinstance(line_track_weight, str):  # "auto"
+        # Measured on the 120-frame interleaved drive (scratch/
+        # kitti_ltw_ablation.log vs kitti_ltw_points.log): frame-to-frame
+        # LBD line-consistency weighting rescues the cuboid-only backend
+        # (ATE 19.2 -> 3.8 m at w=0.5: it down-weights the unstable
+        # proposals that otherwise drag the pose) but HURTS on top of
+        # joint point BA (0.69 -> 0.87 m: points already anchor the pose,
+        # so down-weighting honest cuboid measurements only loses
+        # information).  auto = 0.5 for the no-points interleaved mode,
+        # else 0.
+        line_track_weight = (
+            0.5 if (pose_feedback and point_weight == 0.0) else 0.0
         )
     if pose_feedback:
         return _run_kitti_tracked(
@@ -961,7 +976,6 @@ def _run_kitti_tracked(
     optimised inside each window (tracker.make_windowed_point_step).
     Ground hints come from corners below the principal row and outside
     every detection bbox."""
-    from cube_slam_wu_tpu.core import rotations as rotu
     from cube_slam_wu_tpu.ops.association import associate_detections
     from cube_slam_wu_tpu.ops.detect import DetectConfig, detect_line_segments
     from cube_slam_wu_tpu.ops.proposal import ProposalConfig, detect_cuboids
@@ -1089,11 +1103,14 @@ def _run_kitti_tracked(
                 pred_Tcw = prev
             Twc_pred = pred_Tcw.inverse()
         T_pred = np.asarray(
-            jax.tree.map(lambda x: x.astype(jnp.float64), Twc_pred).matrix()
+            jax.device_get(Twc_pred.matrix()), dtype=np.float64
         )
-        roll_p, pitch_p, yaw_p = (
-            float(v) for v in rotu.rot_to_euler_zyx(jnp.asarray(T_pred[:3, :3]))
-        )
+        # ZYX euler on host (rotations.rot_to_euler_zyx, regular branch) —
+        # a device round trip here is pure relay latency
+        R_p = T_pred[:3, :3]
+        pitch_p = float(np.arcsin(np.clip(-R_p[2, 0], -1.0, 1.0)))
+        roll_p = float(np.arctan2(R_p[2, 1], R_p[2, 2]))
+        yaw_p = float(np.arctan2(R_p[1, 0], R_p[0, 0]))
 
         meas_i = zero_meas
         quality_i = np.zeros(O)
@@ -1173,7 +1190,7 @@ def _run_kitti_tracked(
                     jnp.asarray(xywh, dtype), jnp.asarray(dmask),
                     lines32.astype(dtype), lmask, c,
                 )
-                return jax.tree.map(np.asarray, r)
+                return jax.device_get(r)
 
             res = kitti_det(cfg)
             res, report = _exact_gather_fallback(
@@ -1297,8 +1314,9 @@ def _run_kitti_tracked(
             carry, (chi2, cube_min) = step(
                 carry, (jnp.asarray(i, jnp.int32), frame, first_Twc)
             )
-        chi2s[i] = float(chi2)
-        cube_hist[i] = np.asarray(cube_min)
+        chi2_h, cube_min_h = jax.device_get((chi2, cube_min))
+        chi2s[i] = float(chi2_h)
+        cube_hist[i] = np.asarray(cube_min_h)
 
     if checkpoint_path is not None:
         _save(n)

@@ -134,3 +134,44 @@ def test_huber_tames_outlier_measurement():
     err_plain = np.abs(np.asarray(res_plain.cam_Tcw.compose(true_Tcw.inverse()).log())).max()
     err_huber = np.abs(np.asarray(res_huber.cam_Tcw.compose(true_Tcw.inverse()).log())).max()
     assert err_huber < err_plain * 0.7, (err_huber, err_plain)
+
+
+def test_gauss_newton_converges_to_truth():
+    """algorithm="gn" (optimization_algorithm_gauss_newton.cpp analogue):
+    unconditional GN steps converge on the well-conditioned synthetic
+    graph, and frame 0 / masked frames stay fixed."""
+    graph, true_Tcw, cube_true = _make_synthetic()
+    res = ba.optimize(graph, iterations=10, algorithm="gn")
+    assert float(res.chi2) < 1e-10
+    err = np.asarray(res.cam_Tcw.compose(true_Tcw.inverse()).log())
+    assert np.abs(err[:6]).max() < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(res.cam_Tcw.trans[0]),
+        np.asarray(graph.cam_Tcw.trans[0]),
+        atol=1e-12,
+    )
+
+
+def test_dogleg_converges_to_truth():
+    """algorithm="dogleg" (optimization_algorithm_dogleg.cpp analogue):
+    trust-region blend of GN and Cauchy steps; must reach the same optimum
+    as LM and shrink chi2 monotonically in the accept sense."""
+    graph, true_Tcw, cube_true = _make_synthetic(noise=0.15, seed=3)
+    chi2_init = float(graph_chi2(graph, graph.cam_Tcw, graph.cube))
+    res = ba.optimize(graph, iterations=15, algorithm="dogleg")
+    assert float(res.chi2) < 1e-9, (chi2_init, float(res.chi2))
+    err = np.asarray(res.cam_Tcw.compose(true_Tcw.inverse()).log())
+    assert np.abs(err[:6]).max() < 1e-4
+    # the three algorithms agree on the optimum
+    res_lm = ba.optimize(graph, iterations=15)
+    np.testing.assert_allclose(
+        np.asarray(res.cam_Tcw.trans),
+        np.asarray(res_lm.cam_Tcw.trans),
+        atol=1e-6,
+    )
+
+
+def test_unknown_algorithm_rejected():
+    graph, _, _ = _make_synthetic()
+    with pytest.raises(ValueError):
+        ba.optimize(graph, iterations=1, algorithm="adam")

@@ -198,3 +198,41 @@ def test_octave_provenance_from_detector():
     assert np.isfinite(d).all()
     norms = np.linalg.norm(d, axis=1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_knn_and_radius_match():
+    """knnMatch / radiusMatch surface parity (binary_descriptor_matcher.cpp
+    :216-597): k-NN returns train indices best-first; radius returns every
+    within-distance pair; both respect padding masks."""
+    from cube_slam_wu_tpu.ops.lbd import knn_match, radius_match
+
+    rng = np.random.default_rng(2)
+    words_t = jnp.asarray(
+        rng.integers(0, 2**32, size=(6, 8), dtype=np.uint64).astype(np.uint32)
+    )
+    # queries: copies of train rows with a few bit flips
+    q = np.asarray(words_t).copy()
+    q[0, 0] ^= 0b111  # 3 bits from train[0]
+    q[1, 3] ^= 0b1    # 1 bit from train[1]
+    words_q = jnp.asarray(q[:2])
+    qm = jnp.ones(2, bool)
+    tm = jnp.asarray([True, True, True, True, False, False])
+
+    idx, dist, valid = knn_match(words_q, words_t, qm, tm, k=3)
+    assert idx.shape == (2, 3)
+    assert int(idx[0, 0]) == 0 and int(dist[0, 0]) == 3
+    assert int(idx[1, 0]) == 1 and int(dist[1, 0]) == 1
+    assert bool(valid.all())
+    # distances non-decreasing across k
+    d = np.asarray(dist)
+    assert (np.diff(d, axis=1) >= 0).all()
+    # masked train rows never appear
+    assert not np.isin(np.asarray(idx), [4, 5]).any()
+
+    dmat, within = radius_match(words_q, words_t, qm, tm, max_dist=4)
+    w = np.asarray(within)
+    assert w[0, 0] and w[1, 1]
+    assert not w[:, 4:].any()  # masked columns excluded
+    np.testing.assert_array_equal(
+        np.asarray(dmat)[0, 0], 3
+    )

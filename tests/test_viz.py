@@ -84,3 +84,21 @@ def test_depth_point_cloud_roundtrip(tmp_path, reference_root):
     text = ply.read_text().splitlines()
     assert text[0] == "ply" and "element vertex 100" in text[2]
     assert len(text) == 10 + 100
+
+
+def test_draw_line_matches():
+    """drawLineMatches analogue (line_lbd/libs/draw.cpp): side-by-side
+    canvas with matched segments and midpoint connectors."""
+    from cube_slam_wu_tpu.utils.viz import draw_line_matches
+
+    a = np.full((40, 60), 30.0)
+    b = np.full((40, 50), 60.0)
+    lines_a = np.array([[5, 5, 30, 5], [10, 20, 10, 35], [0, 0, 1, 1.0]])
+    lines_b = np.array([[7, 6, 32, 6], [12, 21, 12, 36.0]])
+    idx = np.array([0, 1, 0])
+    matched = np.array([True, True, False])
+    img = draw_line_matches(a, lines_a, b, lines_b, idx, matched)
+    assert img.shape == (40, 110, 3)
+    # something was drawn on both halves (pixels deviate from the flat fill)
+    assert (img[:, :60] != 30).any()
+    assert (img[:, 60:] != 60).any()
