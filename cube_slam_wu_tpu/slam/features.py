@@ -195,13 +195,18 @@ class IncrementalTracker:
                 self.prev_gray, gray, jnp.asarray(self.pts),
                 jnp.asarray(self.alive), **self.track_kwargs,
             )
+            # one transfer for both outputs (per-leaf pulls each pay a
+            # relay round trip on tunnelled TPUs)
+            new_pts, tracked = jax.device_get((new_pts, tracked))
             self.pts = np.array(new_pts)
             self.alive = np.array(tracked)
         elif self.prev_gray is None:
             self.alive[:] = False
 
         if self.alive.sum() < self.min_alive:
-            fresh, fmask = harris_corners(gray, max_corners=self.P)
+            fresh, fmask = jax.device_get(
+                harris_corners(gray, max_corners=self.P)
+            )
             fresh = np.asarray(fresh)[np.asarray(fmask)]
             if self.alive.any() and len(fresh):
                 d = np.linalg.norm(

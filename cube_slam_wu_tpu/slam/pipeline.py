@@ -530,12 +530,14 @@ def run_online_frontend(
         book.retire_stale(i, track_max_age)
         det_of_track, matched, det_is_new = (
             np.array(v)  # writable copies (np.asarray of a jax array is RO)
-            for v in associate_detections(
-                jnp.asarray(book.bbox),
-                jnp.asarray(book.alive),
-                jnp.asarray(boxes_c),
-                jnp.asarray(det_valid),
-                min_iou=min_iou,
+            for v in jax.device_get(  # one transfer for all three outputs
+                associate_detections(
+                    jnp.asarray(book.bbox),
+                    jnp.asarray(book.alive),
+                    jnp.asarray(boxes_c),
+                    jnp.asarray(det_valid),
+                    min_iou=min_iou,
+                )
             )
         )
         if depth_gate_m is not None:
@@ -1204,12 +1206,14 @@ def _run_kitti_tracked(
             book.retire_stale(i, track_max_age)
             det_of_track, matched, det_is_new = (
                 np.array(v)
-                for v in associate_detections(
-                    jnp.asarray(book.bbox),
-                    jnp.asarray(book.alive),
-                    jnp.asarray(boxes_c),
-                    jnp.asarray(det_valid),
-                    min_iou=min_iou,
+                for v in jax.device_get(  # one transfer for all three
+                    associate_detections(
+                        jnp.asarray(book.bbox),
+                        jnp.asarray(book.alive),
+                        jnp.asarray(boxes_c),
+                        jnp.asarray(det_valid),
+                        min_iou=min_iou,
+                    )
                 )
             )
             # 3D gate: res.pos is the cuboid position in the world frame of
