@@ -61,8 +61,20 @@ def _timed_loop(make_step, n_lo=4, n_hi=64):
 
 
 def main():
+    global _T_START
+    _T_START = time.perf_counter()
     import jax
     import jax.numpy as jnp
+
+    # Persistent compilation cache: compile time through the TPU relay is
+    # the bench's dominant and most variable cost (first proposal section:
+    # 46 s warm vs 614 s cold across runs); cached executables make repeat
+    # runs — including the driver's end-of-round run — measurement-bound.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        _log(f"compilation cache unavailable: {e}")
 
     dev = jax.devices()[0]
     _log(f"device: {dev} ({dev.platform})")
@@ -300,7 +312,11 @@ def main():
         from cube_slam_wu_tpu.utils import synth
         from cube_slam_wu_tpu.utils.metrics import ate_rmse
 
-        n_e2e = 60
+        if time.perf_counter() - _T_START > 720.0:
+            # compile variance blew the budget; keep the headline JSON safe
+            # from any driver-side timeout (full e2e numbers: BASELINE.md)
+            raise RuntimeError("time budget exceeded, skipping e2e section")
+        n_e2e = 40
         seq = synth.make_sequence(
             n_frames=n_e2e, n_objects=4, size=(480, 640), speed=0.8,
             noise_px=0.5,
@@ -339,7 +355,7 @@ def main():
                 # measured run then reflects steady-state serving.  Must
                 # exceed the window so the windowed point step compiles.
                 pipeline.run_kitti_slam(
-                    out_dir, det_dir, poses_path, n_frames=20, **kw
+                    out_dir, det_dir, poses_path, n_frames=18, **kw
                 )
                 t0 = time.perf_counter()
                 result = pipeline.run_kitti_slam(

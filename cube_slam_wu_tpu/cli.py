@@ -113,6 +113,8 @@ def cmd_online(args):
         bbox_edge_weight=args.bbox_edge_weight,
         window=args.window if args.window and args.window > 0 else None,
         point_weight=args.point_weight,
+        checkpoint_path=args.checkpoint or None,
+        checkpoint_every=args.checkpoint_every,
     )
     truth = uio.read_number_txt(pathlib.Path(args.base) / "truth_cam_poses.txt")
     n = len(result.timestamps)
@@ -400,6 +402,12 @@ def main(argv=None):
     pn.add_argument("--point-weight", type=float, default=0.0,
                     help="point-landmark reprojection weight in the joint "
                          "windowed BA (0 = off; needs --window)")
+    pn.add_argument("--checkpoint", default="",
+                    help="front-end checkpoint npz: saved every "
+                         "--checkpoint-every frames, resumed if it exists; "
+                         "a completed one acts as a front-end cache for "
+                         "backend-setting sweeps")
+    pn.add_argument("--checkpoint-every", type=int, default=25)
     pn.add_argument(
         "--save-cloud",
         type=int,

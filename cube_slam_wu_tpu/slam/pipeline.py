@@ -643,6 +643,8 @@ def run_online_slam(
     bbox_edge_weight: float = 0.005,
     point_weight: float = 0.0,
     n_points: int = 128,
+    checkpoint_path=None,
+    checkpoint_every: int = 25,
 ):
     """Full online mono pipeline over the reference dataset layout: per-frame
     line detection -> cuboid proposals (all detections) -> IoU association
@@ -660,7 +662,13 @@ def run_online_slam(
     committed output (0.2205/0.1704) and our own offline parity run
     (0.2014).  The basin is flat (0.003..0.006 all <= 0.184) and the result
     is bit-identical in float32.  Set 0.0 for reference-parity behaviour
-    (gate alpha 2.0 was the optimum there, ATE 0.2353)."""
+    (gate alpha 2.0 was the optimum there, ATE 0.2353).
+
+    `checkpoint_path` threads the front-end's elastic-resume checkpoint
+    (see run_online_frontend): a COMPLETED checkpoint doubles as a
+    front-end cache — re-runs with different backend settings
+    (bbox_edge_weight / soft_gate_alpha / window) skip the per-frame
+    detect+propose loop entirely and only re-run the BA."""
     dtype = dtype or _default_dtype()
     base = pathlib.Path(base_folder)
     truth = uio.read_number_txt(base / "truth_cam_poses.txt")
@@ -688,6 +696,8 @@ def run_online_slam(
         min_iou=min_iou,
         use_yaw_prior=use_yaw_prior,
         line_track_weight=line_track_weight,
+        checkpoint_path=checkpoint_path,
+        checkpoint_every=checkpoint_every,
     )
     if bbox_edge_weight > 0.0:
         # EdgeSE3CuboidProj factors on the associated YOLO boxes

@@ -20,11 +20,22 @@ BASE = "/root/reference/object_slam/data/"
 pytestmark = pytest.mark.slow
 
 
-def test_full_online_ate_gate(reference_root):
+@pytest.fixture(scope="module")
+def frontend_ckpt(tmp_path_factory):
+    """Shared front-end cache (VERDICT r2 weak 8: keep these gates cheap).
+
+    Both gates below run the IDENTICAL front-end (bbox_edge_weight and
+    soft_gate_alpha are backend-only), so the first run's completed
+    checkpoint lets the second skip the 58-frame detect+propose loop.
+    """
+    return str(tmp_path_factory.mktemp("online_gate") / "frontend.npz")
+
+
+def test_full_online_ate_gate(reference_root, frontend_ckpt):
     truth = uio.read_number_txt(BASE + "truth_cam_poses.txt")
     ref_out = uio.read_number_txt(BASE + "output_cam_poses.txt")
     ate_ref = ate_rmse(ref_out[: len(truth), 1:4], truth[:, 1:4])
-    result = run_online_slam(BASE)
+    result = run_online_slam(BASE, checkpoint_path=frontend_ckpt)
     ate = ate_rmse(result.traj_Twc_xyzq[:, :3], truth[:, 1:4])
     assert np.isfinite(ate)
     # default config beats the reference by a clear margin (measured 0.1789)
@@ -37,13 +48,17 @@ def test_full_online_ate_gate(reference_root):
     assert len(rep.empty_detections) <= 8
 
 
-def test_full_online_ate_gate_reference_parity(reference_root):
+def test_full_online_ate_gate_reference_parity(reference_root, frontend_ckpt):
     """Reference-semantics mode: 3D cuboid edges only (main_obj.cpp builds
-    no projection edge), gate alpha as in round 1."""
+    no projection edge), gate alpha as in round 1.  Reuses the first gate's
+    completed front-end checkpoint (front-end is config-identical)."""
     truth = uio.read_number_txt(BASE + "truth_cam_poses.txt")
     ref_out = uio.read_number_txt(BASE + "output_cam_poses.txt")
     ate_ref = ate_rmse(ref_out[: len(truth), 1:4], truth[:, 1:4])
-    result = run_online_slam(BASE, bbox_edge_weight=0.0, soft_gate_alpha=2.0)
+    result = run_online_slam(
+        BASE, bbox_edge_weight=0.0, soft_gate_alpha=2.0,
+        checkpoint_path=frontend_ckpt,
+    )
     ate = ate_rmse(result.traj_Twc_xyzq[:, :3], truth[:, 1:4])
     assert np.isfinite(ate)
     assert ate <= ate_ref * 1.1, f"online ATE {ate:.4f} vs ref {ate_ref:.4f}"
