@@ -281,13 +281,20 @@ def knn_match(
 
     Returns (idx (Lq, k) train indices best-first, dist (Lq, k) int32,
     valid (Lq, k) — False where fewer than k masked train rows exist or
-    the query is masked out)."""
+    the query is masked out).  k larger than the padded train capacity Lt
+    is honoured by padding the trailing k - Lt rows with valid=False."""
     xor = query_words[:, None, :] ^ train_words[None, :, :]
     dist = jnp.sum(_popcount32(xor), axis=-1).astype(jnp.int32)  # (Lq, Lt)
     big = jnp.iinfo(jnp.int32).max
     dist = jnp.where(train_mask[None, :], dist, big)
-    neg, idx = jax.lax.top_k(-dist, k)
+    Lt = train_words.shape[0]
+    k_eff = min(k, Lt)
+    neg, idx = jax.lax.top_k(-dist, k_eff)
     d = -neg
+    if k_eff < k:
+        pad = ((0, 0), (0, k - k_eff))
+        idx = jnp.pad(idx, pad)
+        d = jnp.pad(d, pad, constant_values=big)
     valid = query_mask[:, None] & (d < big)
     return idx, d, valid
 

@@ -261,18 +261,33 @@ def worker_main(argv=None) -> None:
     )
 
 
+def _free_port() -> int:
+    """Ask the OS for a currently-free TCP port (bind to 0, read it back).
+    A stale worker or TIME_WAIT on a fixed port would make
+    jax.distributed.initialize hang until its timeout instead of failing
+    fast; a fresh ephemeral port per launch avoids the collision class."""
+    import socket
+
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
 def launch(
     num_processes: int = 2,
     local_devices: int = 4,
     out_dir: str | None = None,
-    port: int = 12765,
+    port: int | None = None,
     timeout_s: int = 900,
 ) -> list[str]:
     """Spawn `num_processes` OS processes on the CPU backend, each with
     `local_devices` virtual devices, run `worker_main`, and return the
-    per-process result lines.  Raises on any worker failure."""
+    per-process result lines.  Raises on any worker failure.  The
+    coordinator port is picked fresh from the OS by default; pass `port`
+    only to pin it explicitly."""
     import tempfile
 
+    port = port if port is not None else _free_port()
     out_dir = out_dir or tempfile.mkdtemp(prefix="cubeslam_mh_")
     env_base = dict(os.environ)
     env_base["JAX_PLATFORMS"] = "cpu"

@@ -395,6 +395,8 @@ def run_online_frontend(
                 ),
                 dropped=np.asarray(report.dropped_detections),
                 far_spawns=np.asarray(report.far_spawns),
+                cap_overflow_frames=np.asarray(report.cap_overflow_frames),
+                cap_fallbacks=np.asarray(report.cap_fallbacks),
             )
 
         cp = pathlib.Path(checkpoint_path)
@@ -417,6 +419,14 @@ def run_online_frontend(
                 list(data["no_valid_proposal"]),
                 int(data["dropped"]),
                 int(data["far_spawns"]) if "far_spawns" in data else 0,
+                cap_overflow_frames=(
+                    int(data["cap_overflow_frames"])
+                    if "cap_overflow_frames" in data
+                    else 0
+                ),
+                cap_fallbacks=(
+                    int(data["cap_fallbacks"]) if "cap_fallbacks" in data else 0
+                ),
             )
 
     for i, (img_path, det_path) in enumerate(frame_specs):

@@ -70,11 +70,28 @@ class Sim3PoseGraph(NamedTuple):
 
 def edge_residuals(graph: Sim3PoseGraph, poses: Sim3) -> jnp.ndarray:
     """(E, 7) weighted tangent-space residuals
-    sqrt(w) * log(S_ji * S_iw * S_jw^-1) for every (masked) edge."""
+    sqrt(w) * log(S_ji * S_iw * S_jw^-1) for every (masked) edge.
+
+    Masked-out edges may carry arbitrary padding in `meas` (all-zero is the
+    natural fill, and a zero-scale similarity would send log() to NaN, which
+    NaN*0 cannot remove).  So masked edges first have their measurement
+    substituted with the exactly-consistent S_jw * S_iw^-1 built from the
+    current poses — the relative term becomes the identity for EVERY pose
+    perturbation, giving an identically-zero, NaN-free residual and Jacobian
+    regardless of the padding contents."""
     Si = _take(poses, graph.edge_i)
     Sj = _take(poses, graph.edge_j)
-    err = graph.meas.compose(Si.compose(Sj.inverse())).log()
-    w = jnp.sqrt(graph.weight) * graph.edge_mask.astype(err.dtype)
+    m = graph.edge_mask
+    consistent = Sj.compose(Si.inverse())
+    meas = jax.tree.map(
+        lambda a, b: jnp.where(
+            m.reshape(m.shape + (1,) * (a.ndim - 1)), a, b
+        ),
+        graph.meas,
+        consistent,
+    )
+    err = meas.compose(Si.compose(Sj.inverse())).log()
+    w = jnp.sqrt(graph.weight) * m.astype(err.dtype)
     return err * w[:, None]
 
 

@@ -90,3 +90,44 @@ def test_frontend_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(
         np.asarray(frames.bbox), np.asarray(ref_frames.bbox), atol=1e-12
     )
+
+
+def test_frontend_checkpoint_preserves_cap_counters(tmp_path):
+    """cap_overflow_frames / cap_fallbacks must survive a checkpoint+resume
+    cycle — a resumed run previously reset them to 0, under-reporting cap
+    saturation in summary() (ADVICE r3)."""
+    from cube_slam_wu_tpu.core.se3 import SE3
+    from cube_slam_wu_tpu.slam import pipeline
+    from cube_slam_wu_tpu.utils import synth
+
+    seq = synth.make_sequence(n_frames=4, n_objects=1, size=(240, 320),
+                              speed=0.35, noise_px=0.5)
+    out, det_dir, _ = synth.write_kitti_sequence(seq, tmp_path / "seq")
+    specs = [
+        (out / "image_0" / f"{i:06d}.png", det_dir / f"{i:06d}.txt")
+        for i in range(4)
+    ]
+    T0 = jnp.asarray(seq.T_wc[0])
+    first = SE3.from_rot_trans(T0[:3, :3], T0[:3, 3])
+    kw = dict(max_objects=2, max_detections=2)
+
+    ck = tmp_path / "fe.npz"
+    pipeline.run_online_frontend(
+        specs[:2], seq.K, first, jnp.float64,
+        checkpoint_path=ck, checkpoint_every=1, **kw
+    )
+    assert ck.exists()
+    # inject non-zero counters as if the interrupted run had hit the cap
+    data = dict(np.load(ck))
+    assert "cap_overflow_frames" in data and "cap_fallbacks" in data
+    data["cap_overflow_frames"] = np.asarray(3)
+    data["cap_fallbacks"] = np.asarray(2)
+    np.savez(ck, **data)
+
+    _, rep = pipeline.run_online_frontend(
+        specs, seq.K, first, jnp.float64,
+        checkpoint_path=ck, checkpoint_every=1, **kw
+    )
+    assert rep.cap_overflow_frames >= 3
+    assert rep.cap_fallbacks >= 2
+    assert "cap_overflow=3" in rep.summary() or rep.cap_overflow_frames > 3

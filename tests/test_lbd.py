@@ -236,3 +236,28 @@ def test_knn_and_radius_match():
     np.testing.assert_array_equal(
         np.asarray(dmat)[0, 0], 3
     )
+
+
+def test_knn_match_k_exceeding_train_capacity():
+    """k larger than the padded train set must honour the documented
+    contract (trailing rows valid=False) instead of failing at trace time
+    inside lax.top_k (ADVICE r3)."""
+    from cube_slam_wu_tpu.ops.lbd import knn_match
+
+    rng = np.random.default_rng(5)
+    words_t = jnp.asarray(
+        rng.integers(0, 2**32, size=(3, 8), dtype=np.uint64).astype(np.uint32)
+    )
+    words_q = words_t[:2]
+    qm = jnp.ones(2, bool)
+    tm = jnp.asarray([True, True, False])
+
+    idx, dist, valid = knn_match(words_q, words_t, qm, tm, k=5)
+    assert idx.shape == (2, 5) and dist.shape == (2, 5)
+    v = np.asarray(valid)
+    # exactly the 2 masked train rows are reachable per query
+    np.testing.assert_array_equal(v.sum(axis=1), [2, 2])
+    assert not v[:, 2:].any()
+    # best match is the identical row at distance 0
+    assert int(dist[0, 0]) == 0 and int(idx[0, 0]) == 0
+    assert int(dist[1, 0]) == 0 and int(idx[1, 0]) == 1

@@ -16,7 +16,7 @@ from cube_slam_wu_tpu.parallel import multihost
 @pytest.mark.slow
 def test_two_process_global_mesh(tmp_path):
     results = multihost.launch(
-        num_processes=2, local_devices=4, out_dir=str(tmp_path), port=12901
+        num_processes=2, local_devices=4, out_dir=str(tmp_path)
     )
     assert len(results) == 2
     for line in results:

@@ -177,3 +177,69 @@ def test_scale_drift_corrected_at_loop_closure():
     # camera centers (de-scaled positions) recover the true loop
     after_err = np.linalg.norm(_centers(res.poses) - true_centers, axis=-1)
     assert after_err.mean() < 0.35 * before_err.mean()
+
+
+def test_masked_padding_edge_with_zero_meas_is_inert():
+    """A padded (edge_mask=False) edge whose measurement is ALL-ZERO — the
+    natural pytree padding, whose scale-0 similarity would send Sim3.log to
+    NaN — must contribute nothing: finite residuals/chi2 through the jacfwd
+    linearisation, and an optimize() result identical to the same graph
+    without the padded slot (ADVICE r3: NaN*0 poisoning)."""
+    n = 10
+    truth_se3 = _circle_truth(n)
+    true_scales = jnp.asarray(np.geomspace(1.0, 0.7, n))
+    truth = pg.sim3_from_se3(truth_se3, true_scales)
+    idx = jnp.arange(n - 1)
+    meas = pg._take(truth, idx + 1).compose(pg._take(truth, idx).inverse())
+
+    rng = np.random.default_rng(7)
+    d = jnp.asarray(rng.normal(scale=0.04, size=(n, 7)))
+    d = d.at[0].set(0.0)
+    init = Sim3.exp(d).compose(truth)
+
+    def graph(meas, edge_i, edge_j, weight, edge_mask):
+        return pg.Sim3PoseGraph(
+            poses=init,
+            edge_i=edge_i.astype(jnp.int32),
+            edge_j=edge_j.astype(jnp.int32),
+            meas=meas,
+            weight=weight,
+            edge_mask=edge_mask,
+            pose_mask=jnp.ones((n,), bool),
+        )
+
+    g_ref = graph(
+        meas, idx, idx + 1, jnp.ones((n - 1,)), jnp.ones((n - 1,), bool)
+    )
+
+    # pad one inactive slot with ALL-ZERO measurement (scale 0, quat 0)
+    zero = Sim3(
+        jnp.zeros((1, 4), meas.quat.dtype),
+        jnp.zeros((1, 3), meas.trans.dtype),
+        jnp.zeros((1,), meas.scale.dtype),
+    )
+    meas_p = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), meas, zero)
+    g_pad = graph(
+        meas_p,
+        jnp.concatenate([idx, jnp.asarray([0])]),
+        jnp.concatenate([idx + 1, jnp.asarray([1])]),
+        jnp.ones((n,)),
+        jnp.concatenate([jnp.ones((n - 1,), bool), jnp.asarray([False])]),
+    )
+
+    r = pg.edge_residuals(g_pad, g_pad.poses)
+    assert np.all(np.isfinite(np.asarray(r)))
+    np.testing.assert_array_equal(np.asarray(r[-1]), 0.0)
+
+    res_ref = pg.optimize(g_ref, iterations=10)
+    res_pad = pg.optimize(g_pad, iterations=10)
+    assert np.isfinite(float(res_pad.chi2))
+    np.testing.assert_allclose(
+        float(res_pad.chi2), float(res_ref.chi2), rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_pad.poses.trans),
+        np.asarray(res_ref.poses.trans),
+        rtol=1e-8,
+        atol=1e-9,
+    )
