@@ -129,6 +129,56 @@ def _caps_off(cfg):
     return dataclasses.replace(cfg, dist_gather_cap=0, dist_gather_cap2=0)
 
 
+_ASSOC_CPU_DEV = "unset"  # resolved lazily; None when no CPU backend exists
+
+
+def _associate_local(book, boxes_c, det_valid, min_iou):
+    """Run the (O x D <= 6x4) IoU association on the LOCAL CPU backend when
+    one is available.  The op is microseconds of work; on a tunnelled TPU
+    the device round trip it would otherwise pay is ~26 ms of pure relay
+    latency per frame (BASELINE.md) — association policy is host-side
+    bookkeeping anyway, so compute it next to the bookkeeping."""
+    from cube_slam_wu_tpu.ops.association import associate_detections
+
+
+    global _ASSOC_CPU_DEV
+    if _ASSOC_CPU_DEV == "unset":
+        try:
+            _ASSOC_CPU_DEV = jax.local_devices(backend="cpu")[0]
+        except Exception:
+            _ASSOC_CPU_DEV = None
+
+    def run():
+        return associate_detections(
+            jnp.asarray(book.bbox),
+            jnp.asarray(book.alive),
+            jnp.asarray(boxes_c),
+            jnp.asarray(det_valid),
+            min_iou=min_iou,
+        )
+
+    if _ASSOC_CPU_DEV is not None:
+        try:
+            with jax.default_device(_ASSOC_CPU_DEV):
+                out = run()
+        except Exception:
+            _ASSOC_CPU_DEV = None
+            out = run()
+    else:
+        out = run()
+    # one transfer, writable copies (np.asarray of a jax array is RO)
+    return tuple(np.array(v) for v in jax.device_get(out))
+
+
+def _se3_inv_mat(T: np.ndarray) -> np.ndarray:
+    """Exact inverse of a rigid 4x4 (R^T, -R^T t) on the host."""
+    out = np.eye(4)
+    R = T[:3, :3]
+    out[:3, :3] = R.T
+    out[:3, 3] = -R.T @ T[:3, 3]
+    return out
+
+
 class _TrackletBook:
     """Host-side tracklet slots shared by the online drivers (the two-phase
     `run_online_frontend` and the interleaved `_run_kitti_tracked`):
@@ -327,7 +377,6 @@ def run_online_frontend(
     behaviour, where the one object is observed in nearly every frame.
     """
     from cube_slam_wu_tpu.core import rotations as rotu
-    from cube_slam_wu_tpu.ops.association import associate_detections
     from cube_slam_wu_tpu.ops.detect import DetectConfig, detect_line_segments
     from cube_slam_wu_tpu.ops.proposal import (
         ProposalConfig,
@@ -538,17 +587,8 @@ def run_online_frontend(
             continue
 
         book.retire_stale(i, track_max_age)
-        det_of_track, matched, det_is_new = (
-            np.array(v)  # writable copies (np.asarray of a jax array is RO)
-            for v in jax.device_get(  # one transfer for all three outputs
-                associate_detections(
-                    jnp.asarray(book.bbox),
-                    jnp.asarray(book.alive),
-                    jnp.asarray(boxes_c),
-                    jnp.asarray(det_valid),
-                    min_iou=min_iou,
-                )
-            )
+        det_of_track, matched, det_is_new = _associate_local(
+            book, boxes_c, det_valid, min_iou
         )
         if depth_gate_m is not None:
             # camera-relative range of each candidate (flat-ground lift is
@@ -998,7 +1038,6 @@ def _run_kitti_tracked(
     optimised inside each window (tracker.make_windowed_point_step).
     Ground hints come from corners below the principal row and outside
     every detection bbox."""
-    from cube_slam_wu_tpu.ops.association import associate_detections
     from cube_slam_wu_tpu.ops.detect import DetectConfig, detect_line_segments
     from cube_slam_wu_tpu.ops.proposal import ProposalConfig, detect_cuboids
     from cube_slam_wu_tpu.slam.graph import CameraObjectGraph
@@ -1103,6 +1142,14 @@ def _run_kitti_tracked(
             ckpt.save_pytree(cp.parent / (cp.name + ".carry"), carry)
 
     zero_meas = Cuboid.identity((O,), dtype)
+    # Host-side caches refreshed from the ONE post-step transfer each frame:
+    # the two most recent optimized Tcw matrices (constant-velocity pose
+    # prediction) and the cuboid landmark positions/validity (3D association
+    # gate).  Computing the prediction and gate from these instead of
+    # touching the device graph removes 3 relay round trips per frame.
+    Tcw_prev = Tcw_prevprev = None  # (4,4) float64, frames i-1 / i-2
+    cube_pos_h = np.zeros((O, 3))
+    cube_valid_h = np.zeros(O, bool)
     for i in range(start_frame, n):
         if (
             checkpoint_path is not None
@@ -1112,21 +1159,32 @@ def _run_kitti_tracked(
             _save(i)
 
         g = carry[0] if windowed else carry
+        if i > 0 and Tcw_prev is None:
+            # resumed mid-run: one-time refill of the host caches
+            Tcw_prev, Tcw_prevprev, cube_pos_h, cube_valid_h = jax.device_get(
+                (
+                    g.cam_Tcw[i - 1].matrix(),
+                    g.cam_Tcw[max(i - 2, 0)].matrix(),
+                    g.cube.pose.trans,
+                    g.cube_valid,
+                )
+            )
+            Tcw_prev = np.asarray(Tcw_prev, np.float64)
+            Tcw_prevprev = np.asarray(Tcw_prevprev, np.float64)
+            cube_pos_h = np.asarray(cube_pos_h)
+            cube_valid_h = np.asarray(cube_valid_h)
         # constant-velocity predicted pose (the tracker will recompute the
-        # same prediction inside _insert_frame)
+        # same prediction inside _insert_frame), entirely on host
         if i == 0:
-            Twc_pred = first_Twc
+            T_pred = np.asarray(
+                jax.device_get(first_Twc.matrix()), dtype=np.float64
+            )
         else:
-            prev = g.cam_Tcw[i - 1]
             if i > 1:
-                prevprev = g.cam_Tcw[i - 2]
-                pred_Tcw = prev.compose(prevprev.inverse()).compose(prev)
+                pred_Tcw = Tcw_prev @ _se3_inv_mat(Tcw_prevprev) @ Tcw_prev
             else:
-                pred_Tcw = prev
-            Twc_pred = pred_Tcw.inverse()
-        T_pred = np.asarray(
-            jax.device_get(Twc_pred.matrix()), dtype=np.float64
-        )
+                pred_Tcw = Tcw_prev
+            T_pred = _se3_inv_mat(pred_Tcw)
         # ZYX euler on host (rotations.rot_to_euler_zyx, regular branch) —
         # a device round trip here is pure relay latency
         R_p = T_pred[:3, :3]
@@ -1224,17 +1282,8 @@ def _run_kitti_tracked(
                 ok = False
         if ok:
             book.retire_stale(i, track_max_age)
-            det_of_track, matched, det_is_new = (
-                np.array(v)
-                for v in jax.device_get(  # one transfer for all three
-                    associate_detections(
-                        jnp.asarray(book.bbox),
-                        jnp.asarray(book.alive),
-                        jnp.asarray(boxes_c),
-                        jnp.asarray(det_valid),
-                        min_iou=min_iou,
-                    )
-                )
+            det_of_track, matched, det_is_new = _associate_local(
+                book, boxes_c, det_valid, min_iou
             )
             # 3D gate: res.pos is the cuboid position in the world frame of
             # the predicted pose; compare against the landmark estimate.
@@ -1246,8 +1295,8 @@ def _run_kitti_tracked(
             # A dropped handoff measurement instead starves the stale track
             # until age retirement frees the entrant to spawn cleanly.
             if assoc_gate_m is not None and assoc_gate_m > 0:
-                cube_pos = np.asarray(g.cube.pose.trans)  # (O, 3)
-                cube_ok = np.asarray(g.cube_valid)
+                cube_pos = cube_pos_h  # (O, 3) cached from last step's pull
+                cube_ok = cube_valid_h
                 for o in np.nonzero(matched)[0]:
                     if not cube_ok[o]:
                         continue
@@ -1338,7 +1387,24 @@ def _run_kitti_tracked(
             carry, (chi2, cube_min) = step(
                 carry, (jnp.asarray(i, jnp.int32), frame, first_Twc)
             )
-        chi2_h, cube_min_h = jax.device_get((chi2, cube_min))
+        # ONE transfer per frame: step outputs + everything the next
+        # iteration's host-side prediction and association gate need
+        g_next = carry[0] if windowed else carry
+        (
+            chi2_h, cube_min_h, T1_h, T2_h, cube_pos_h, cube_valid_h
+        ) = jax.device_get(
+            (
+                chi2, cube_min,
+                g_next.cam_Tcw[i].matrix(),
+                g_next.cam_Tcw[max(i - 1, 0)].matrix(),
+                g_next.cube.pose.trans,
+                g_next.cube_valid,
+            )
+        )
+        Tcw_prev = np.asarray(T1_h, np.float64)
+        Tcw_prevprev = np.asarray(T2_h, np.float64)
+        cube_pos_h = np.asarray(cube_pos_h)
+        cube_valid_h = np.asarray(cube_valid_h)
         chi2s[i] = float(chi2_h)
         cube_hist[i] = np.asarray(cube_min_h)
 
