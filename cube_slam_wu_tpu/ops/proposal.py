@@ -113,6 +113,16 @@ class ProposalConfig:
     # inside the box) justify its smaller cap.
     dist_gather_cap: int = 4608
     dist_gather_cap2: int = 1536
+    # Compact the ROI's lines to this many slots (valid-first, stable order)
+    # before merge_break_lines.  The merge is compute-bound at O(slots^2)
+    # per round (scratch/micro_r4: 2.07 ms at 320 slots vs 0.36 ms at 128 on
+    # TPU) while typically <100 of the padded `max_lines` slots fall inside
+    # the expanded detection ROI.  Exact while n_inside <= cap (stable
+    # compaction preserves the relative slot order the merge's
+    # lexicographic pairing depends on); a binding cap is counted in
+    # ProposalResult.cap_overflow and the drivers' exact-gather fallback
+    # (which zeroes every cap) recomputes without it.  0 disables.
+    merge_cap: int = 128
     # Return the N best-ranked proposals per box instead of only the winner
     # (the reference's ObjectSet semantics: max_cuboid_num ranked cuboids,
     # detect_3d_cuboid.h:95-96, partial-sort box_proposal_detail.cpp:801-838;
@@ -778,9 +788,26 @@ def hypothesis_grid(
         inside = line_ops.inside_box_mask(
             lines, (exp_left, exp_top), (exp_right, exp_down)
         )
+        roi_mask = line_mask & inside
+        L_all = lines.shape[0]
+        if 0 < cfg.merge_cap < L_all:
+            # valid-first stable compaction: preserves the relative slot
+            # order among inside-ROI lines, so the merge's lexicographic
+            # mutual-first pairing is unchanged while its O(L^2)-per-round
+            # work shrinks (ProposalConfig.merge_cap).
+            sel = jnp.argsort(~roi_mask, stable=True)[: cfg.merge_cap]
+            lines_m = lines[sel]
+            mask_m = roi_mask[sel]
+            merge_overflow = jnp.maximum(
+                jnp.sum(roi_mask.astype(jnp.int32)) - cfg.merge_cap, 0
+            )[None]
+        else:
+            lines_m = lines
+            mask_m = roi_mask
+            merge_overflow = jnp.zeros((1,), jnp.int32)
         m_lines32, m_mask = line_ops.merge_break_lines(
-            lines.astype(jnp.float32),
-            line_mask & inside,
+            lines_m.astype(jnp.float32),
+            mask_m,
             cfg.pre_merge_dist_thre,
             cfg.pre_merge_angle_thre_deg,
             cfg.edge_length_threshold,
@@ -811,12 +838,15 @@ def hypothesis_grid(
         for config_id in config_ids:
             # NOTE on fusion: a hand-fused Pallas kernel for this block was
             # built and benchmarked in round 2 at 0.99x (scratch/
-            # fused_bench.log) and removed: the block's cost is ~95% chamfer
-            # GATHER (scratch/stage_ablate.log), the TPU has no vectorized
+            # fused_bench.log) and removed: the TPU has no vectorized
             # arbitrary gather for Pallas to exploit (VMEM residency does
-            # not change the ~10 ns/element rate, scratch/gather_bench.log:
+            # not change the ~7 ns/element rate, scratch/gather_bench.log:
             # an 8x128 map gathers no faster than 480x640), and XLA already
-            # fuses the surrounding elementwise work.  bench.py prints the
+            # fuses the surrounding elementwise work.  Round-4 attribution
+            # (scratch/stage_ablate_r4.py + micro_r4.py, jit caches cleared
+            # per ablation): parity grid = chamfer gathers ~4.1 ms +
+            # Canny/EDT map ~1.0 ms + ROI merge ~0.4 ms (after merge_cap) +
+            # ~0.2 ms of corner/VP/fusion arithmetic.  bench.py prints the
             # gather-roofline model next to the measured time.
             cx, cy, vp1_pos, valid = _corner_chain(
                 vp, c1x, c1y, geom, config_id, cfg.shorted_edge_thre
@@ -827,6 +857,7 @@ def hypothesis_grid(
             cap = (
                 cfg.dist_gather_cap if config_id == 1 else cfg.dist_gather_cap2
             )
+            first_block = not blocks
             if 0 < cap < Hc:
                 # gather the chamfer samples only for VALID hypotheses
                 # (exact while n_valid <= cap: fusion/ranking mask invalid
@@ -863,6 +894,10 @@ def hypothesis_grid(
                     bilinear=cfg.bilinear_dist,
                 )
             dist = dist / diag
+            if first_block:
+                # merge-cap saturation rides the same observable/fallback
+                # channel as the gather caps (summed in _fuse_and_rank)
+                overflow = overflow + merge_overflow
             blocks.append(
                 dict(
                     cx=cx,

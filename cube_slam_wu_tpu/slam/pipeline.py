@@ -126,7 +126,9 @@ def _exact_gather_fallback(res, report, recompute):
 
 
 def _caps_off(cfg):
-    return dataclasses.replace(cfg, dist_gather_cap=0, dist_gather_cap2=0)
+    return dataclasses.replace(
+        cfg, dist_gather_cap=0, dist_gather_cap2=0, merge_cap=0
+    )
 
 
 _ASSOC_CPU_DEV = "unset"  # resolved lazily; None when no CPU backend exists

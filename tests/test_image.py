@@ -86,3 +86,43 @@ def test_pallas_edt_matches_reference():
     g2 = jnp.minimum(g, 1e6) ** 2
     ours = np.asarray(edt_row_min(g2, interpret=True))
     np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+
+def test_hysteresis_matches_connected_components_no_wrap():
+    """Hysteresis fixpoint == weak pixels 8-connected to a strong seed,
+    with NO wraparound across image borders (cv::Canny semantics; the
+    round-3 roll-based loop leaked chains across borders).  Ground truth
+    via scipy connected-component labelling on the same weak/strong masks."""
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+        h = int(rng.integers(40, 160))
+        w = int(rng.integers(40, 200))
+        g = ndi.gaussian_filter(rng.random((h, w)) * 255.0, 3.0) * 4.0
+        gj = jnp.asarray(g.astype(np.float32))
+        gx, gy = image_ops.sobel3(gj)
+        mag = jnp.abs(gx) + jnp.abs(gy)
+        keep = image_ops._nms(mag, gx, gy)
+        strong = np.asarray(keep & (mag > 80.0))
+        weak = np.asarray(keep & (mag > 30.0))
+        lab, _ = ndi.label(weak, structure=np.ones((3, 3)))
+        keep_ids = np.unique(lab[strong & (lab > 0)])
+        truth = np.isin(lab, keep_ids) & weak & (lab > 0)
+        ours = np.asarray(image_ops.canny(gj, 30.0, 80.0))
+        np.testing.assert_array_equal(ours, truth)
+
+
+def test_edt_column_doubling_matches_scan_semantics():
+    """The min-plus doubling column pass gives exact per-column distances
+    (small integers) wherever a column has an edge, and stays above the
+    1e6 clamp where it does not."""
+    rng = np.random.default_rng(3)
+    edge = rng.random((77, 41)) < 0.03
+    edge[:, 0] = False  # one empty column
+    g = np.asarray(image_ops._edt_1d_columns(jnp.asarray(edge)))
+    for x in range(edge.shape[1]):
+        rows = np.nonzero(edge[:, x])[0]
+        for y in range(edge.shape[0]):
+            if len(rows):
+                assert g[y, x] == np.abs(rows - y).min()
+            else:
+                assert g[y, x] > 1e6

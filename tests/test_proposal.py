@@ -284,3 +284,37 @@ def test_exact_gather_fallback_helper():
 
     c = _caps_off(ProposalConfig(dist_gather_cap=4608, dist_gather_cap2=1536))
     assert c.dist_gather_cap == 0 and c.dist_gather_cap2 == 0
+
+
+def test_merge_cap_exact_and_observable(demo_inputs):
+    """ProposalConfig.merge_cap: compacting inside-ROI lines before the
+    merge is exact while n_inside <= cap (identical winner + scores to the
+    uncapped run); a binding cap is counted in cap_overflow and zeroed by
+    the drivers' _caps_off fallback."""
+    gray, K, T_wc, bbox, lines, mask = demo_inputs
+    args = (
+        gray, jnp.asarray(K), jnp.asarray(T_wc), jnp.asarray(bbox),
+        jnp.asarray(lines), jnp.asarray(mask),
+    )
+    capped = ProposalConfig(max_lines=lines.shape[0], merge_cap=128)
+    uncapped = ProposalConfig(max_lines=lines.shape[0], merge_cap=0)
+    res_c = detect_cuboid_single(*args, capped)
+    res_u = detect_cuboid_single(*args, uncapped)
+    assert int(res_c.cap_overflow) == 0
+    np.testing.assert_array_equal(
+        np.asarray(res_c.pos), np.asarray(res_u.pos)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_c.rotY), np.asarray(res_u.rotY)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_c.normalized_error), np.asarray(res_u.normalized_error)
+    )
+    # binding cap (fixture has 89 inside-ROI lines): overflow observable
+    tiny = ProposalConfig(max_lines=lines.shape[0], merge_cap=16)
+    res_t = detect_cuboid_single(*args, tiny)
+    assert int(res_t.cap_overflow) > 0
+
+    from cube_slam_wu_tpu.slam.pipeline import _caps_off
+
+    assert _caps_off(capped).merge_cap == 0
