@@ -39,24 +39,28 @@ def _log(msg):
 def _timed_loop(make_step, n_lo=4, n_hi=64):
     """Return seconds/iteration measured on device.
 
-    make_step(n) -> callable returning a scalar after n chained iterations.
-    Uses the slope between n_lo and n_hi to cancel relay RTT + fixed overhead.
+    make_step() -> f(n) running n chained kernel iterations inside ONE
+    compiled program (dynamic fori_loop trip count, so both n values share
+    a single executable — cold-compile cost halves vs two static scans).
+    Uses the slope between n_lo and n_hi to cancel relay RTT + fixed
+    overhead.
     """
-    f_lo = make_step(n_lo)
-    f_hi = make_step(n_hi)
-    float(np.asarray(f_lo()))  # compile
-    float(np.asarray(f_hi()))
+    f = make_step()
+    n_lo_d = np.int32(n_lo)
+    n_hi_d = np.int32(n_hi)
+    float(np.asarray(f(n_lo_d)))  # compile (shared executable)
+    float(np.asarray(f(n_hi_d)))
 
-    def best_of(f, reps=3):
+    def best_of(n, reps=3):
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(np.asarray(f()))
+            float(np.asarray(f(n)))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    t_lo = best_of(f_lo)
-    t_hi = best_of(f_hi)
+    t_lo = best_of(n_lo_d)
+    t_hi = best_of(n_hi_d)
     return max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
 
 
@@ -68,11 +72,18 @@ def main():
 
     # Persistent compilation cache: compile time through the TPU relay is
     # the bench's dominant and most variable cost (first proposal section:
-    # 46 s warm vs 614 s cold across runs); cached executables make repeat
-    # runs — including the driver's end-of-round run — measurement-bound.
+    # 46 s warm vs 1082 s cold across driver runs); cached executables make
+    # repeat runs — including the driver's end-of-round run — measurement-
+    # bound.  Lives under ~/.cache (durable across /tmp wipes); any failure
+    # to set it degrades to cold compiles, never breaks the bench.
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        import os
+
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "jax_bench_cache"
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception as e:
         _log(f"compilation cache unavailable: {e}")
 
@@ -129,17 +140,20 @@ def main():
         nominal_skew_ratio=2.0,
     )
 
-    def make_proposal_loop(n, c):
+    def make_proposal_loop(c):
         @jax.jit
-        def run():
-            def body(carry, _):
+        def run(n):
+            def body(_, carry):
+                # carry*1e-32 underflows to +0 in f32 (gray is O(100)) so
+                # the inputs are bit-identical every iteration, but unlike
+                # carry*0.0 the product is not algebraically foldable —
+                # the serializing chain survives XLA simplification
                 res = detect_cuboid_single(
-                    gray + carry * 0.0, K, T_wc, bbox, lines_j, mask_j, c
+                    gray + carry * 1e-32, K, T_wc, bbox, lines_j, mask_j, c
                 )
-                return jnp.sum(res.pos), None
+                return jnp.sum(res.pos)
 
-            out, _ = jax.lax.scan(body, jnp.asarray(0.0, dtype), None, length=n)
-            return out
+            return jax.lax.fori_loop(0, n, body, jnp.asarray(0.0, dtype))
 
         return run
 
@@ -161,8 +175,10 @@ def main():
         _log(f"production-config bench skipped: {e}")
 
     # ---- roofline: speed-of-light model vs measured ------------------------
-    # The proposal grid is ~95% chamfer gather (scratch/stage_ablate.log:
-    # 23 ms -> 1.3 ms without the dist gathers), and TPU gathers are
+    # Round-4 attribution (scratch/stage_ablate_r4.py + micro_r4.py): the
+    # parity grid is chamfer gathers (~4.1 ms) + Canny/EDT map (~1.0 ms
+    # after bit-packed hysteresis + Pallas row EDT) + capped ROI merge
+    # (~0.4 ms) + ~0.2 ms of scoring arithmetic.  TPU gathers are
     # rate-bound per ELEMENT (scratch/gather_bench.log: same ns/elem for an
     # 8x128 map as for 480x640, i.e. VMEM residency does not help — which is
     # why the hand-fused Pallas attempt measured 0.99x and was removed).
@@ -178,18 +194,17 @@ def main():
         idx_np = np.random.default_rng(3).integers(0, npx, size=elems)
         idx0 = jnp.asarray(idx_np, jnp.int32)
 
-        def make_gather_loop(n):
+        def make_gather_loop():
             @jax.jit
-            def run():
-                def body(carry, _):
+            def run(n):
+                def body(_, carry):
                     idx = (idx0 + carry) % npx
                     v = jnp.take(flat_map, idx)
-                    return carry + 1 + (jnp.sum(v) * 0.0).astype(jnp.int32), None
+                    # keep a REAL data dependency on the gathered values so
+                    # the x*0 -> 0 algebraic rewrite can't dead-code the take
+                    return carry + 1 + (jnp.sum(v) * 1e-30).astype(jnp.int32)
 
-                out, _ = jax.lax.scan(
-                    body, jnp.asarray(0, jnp.int32), None, length=n
-                )
-                return out
+                return jax.lax.fori_loop(0, n, body, jnp.asarray(0, jnp.int32))
 
             return run
 
@@ -247,20 +262,20 @@ def main():
             cube_meas_mask=jnp.ones((F, 1), bool),
         )
 
-        def make_ba_loop(n):
+        def make_ba_loop():
             @jax.jit
-            def run():
-                def body(carry, _):
+            def run(n):
+                def body(_, carry):
                     g = graph._replace(
                         cam_Tcw=SE3(
-                            graph.cam_Tcw.quat, graph.cam_Tcw.trans + carry * 0.0
+                            graph.cam_Tcw.quat, graph.cam_Tcw.trans + carry
                         )
                     )
                     res = ba.optimize(g, iterations=1)
-                    return jnp.sum(res.cam_Tcw.trans) * 0.0, None
+                    # sub-denormal carry: exact-zero perturbation, real chain
+                    return jnp.sum(res.cam_Tcw.trans) * 1e-42
 
-                out, _ = jax.lax.scan(body, jnp.asarray(0.0, dtype), None, length=n)
-                return out
+                return jax.lax.fori_loop(0, n, body, jnp.asarray(0.0, dtype))
 
             return run
 
@@ -273,15 +288,15 @@ def main():
     try:
         from cube_slam_wu_tpu.ops.detect import detect_line_segments
 
-        def make_detect_loop(n):
+        def make_detect_loop():
             @jax.jit
-            def run():
-                def body(carry, _):
-                    lines, m = detect_line_segments(gray + carry * 0.0)
-                    return jnp.sum(jnp.where(m, lines[:, 0], 0.0)) * 0.0, None
+            def run(n):
+                def body(_, carry):
+                    lines, m = detect_line_segments(gray + carry)
+                    # sub-denormal carry: exact-zero perturbation, real chain
+                    return jnp.sum(jnp.where(m, lines[:, 0], 0.0)) * 1e-42
 
-                out, _ = jax.lax.scan(body, jnp.asarray(0.0, dtype), None, length=n)
-                return out
+                return jax.lax.fori_loop(0, n, body, jnp.asarray(0.0, dtype))
 
             return run
 
@@ -298,6 +313,24 @@ def main():
     except Exception as e:
         _log(f"detector bench skipped: {e}")
 
+    # ---- headline JSON -----------------------------------------------------
+    # Printed BEFORE the end-to-end section: the e2e run is the longest and
+    # most relay-variance-exposed stage (a cold compile through the tunnel
+    # has blown a 12x budget before), and a driver-side timeout there must
+    # never cost the headline metric.  stdout carries exactly this one line;
+    # everything else goes to stderr.
+    print(
+        json.dumps(
+            {
+                "metric": "cuboid_proposal_fps_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 2),
+            }
+        ),
+        flush=True,
+    )
+
     # ---- end-to-end online SLAM step (VERDICT r2 item 3) -------------------
     # The full production loop on hardware: per frame, line detection +
     # batched proposals at the predicted pose + host-side association +
@@ -312,9 +345,9 @@ def main():
         from cube_slam_wu_tpu.utils import synth
         from cube_slam_wu_tpu.utils.metrics import ate_rmse
 
-        if time.perf_counter() - _T_START > 720.0:
-            # compile variance blew the budget; keep the headline JSON safe
-            # from any driver-side timeout (full e2e numbers: BASELINE.md)
+        if time.perf_counter() - _T_START > 1500.0:
+            # relay/compile variance blew the budget (the headline JSON is
+            # already printed above; full e2e numbers: BASELINE.md)
             raise RuntimeError("time budget exceeded, skipping e2e section")
         n_e2e = 40
         seq = synth.make_sequence(
@@ -378,17 +411,6 @@ def main():
             shutil.rmtree(tmp, ignore_errors=True)
     except Exception as e:
         _log(f"end-to-end bench skipped: {e}")
-
-    print(
-        json.dumps(
-            {
-                "metric": "cuboid_proposal_fps_per_chip",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FPS, 2),
-            }
-        )
-    )
 
 
 if __name__ == "__main__":

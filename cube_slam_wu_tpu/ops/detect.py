@@ -44,7 +44,17 @@ class DetectConfig:
     n_peaks: int = 384  # Hough peaks examined
     runs_per_peak: int = 6  # segments extracted per peak
     max_runs: int = 32  # run-id capacity per peak
-    inlier_rho_tol: float = 2.0  # px half-width of the perpendicular window
+    # px half-width of the perpendicular inlier window.  Round-4 negative
+    # result: 1.0 (3 taps/bin) measures BETTER single-image fixture recall
+    # (0.952/0.649 vs 0.935/0.631 at >40/>15 px) and cuts the detector's
+    # dominant cost — the (P, NB, S) support gather, ~6.9 of 9.4 ms
+    # (scratch/detect_ablate_r4.py) — by 40%, but COSTS sequence accuracy
+    # on the 58-frame TUM online run (ATE 0.1789 -> 0.2007 default mode,
+    # 0.2353 -> 0.2723 reference-parity mode): frame-to-frame line-set
+    # stability matters more to the proposal scores than per-frame recall.
+    # The default stays 2.0 (quality-pinned); 1.0 is the documented
+    # latency knob when ATE is not the objective.
+    inlier_rho_tol: float = 2.0
     inlier_angle_tol_deg: float = 11.0
     min_inliers: float = 7.0  # occupied bins per run (~14 px)
     gap_bins: int = 2  # tolerated empty bins inside a run
@@ -110,7 +120,12 @@ def detect_line_segments(gray: jnp.ndarray, cfg: DetectConfig = DetectConfig()):
     # O(edge pixels), which matters because TPU scatters are expensive)
     NE = min(cfg.max_edge_pixels, H * W)
     score_flat = jnp.where(keep, mag, 0.0).reshape(-1)
-    top_w, top_pix = jax.lax.top_k(score_flat, NE)
+    # approx_max_k: the exact 307k-element top_k costs ~1.8 ms on TPU
+    # (scratch/detect_ablate_r4.py) and exactness buys nothing here — which
+    # of the weakest near-threshold pixels make the NE cut is arbitrary.
+    # The hardware-optimized approximate selector keeps >=95% of the true
+    # top set; at VGA the NMS'd edge count is usually below NE anyway.
+    top_w, top_pix = jax.lax.approx_max_k(score_flat, NE)
     flat_w = top_w
     flat_y = (top_pix // W).astype(dtype)
     flat_x = (top_pix % W).astype(dtype)
@@ -359,6 +374,20 @@ def detect_line_segments(gray: jnp.ndarray, cfg: DetectConfig = DetectConfig()):
         & seg_mask[None, :]
     )
     seg_mask = seg_mask & ~jnp.any(dominated_by, axis=1)
+
+    # compact dedupe survivors to 1.5x the output capacity before the
+    # O(K^2)-per-round merge (stable order preserved; the merge at 960
+    # slots measured 1.3 ms vs ~0.4 at 576 — scratch/detect_ablate_r4.py).
+    # Beyond-capacity survivors are the weakest by support weight, the same
+    # candidates the final top-`max_output` cut would shed anyway.
+    Mc = min(cfg.max_output + cfg.max_output // 2, segs.shape[0])
+    if Mc < segs.shape[0]:
+        keep_idx = jax.lax.top_k(
+            jnp.where(seg_mask, seg_weight, -1.0), Mc
+        )[1]
+        keep_idx = jnp.sort(keep_idx)  # stable relative order for the merge
+        segs = segs[keep_idx]
+        seg_mask = seg_mask[keep_idx]
 
     segs = line_ops.align_left_right(segs)
     merged, merged_mask = line_ops.merge_break_lines(

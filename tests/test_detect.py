@@ -184,7 +184,8 @@ def test_short_band_recall_quantified(reference_root):
     Hough peaks + runs) is the documented knob for cluttered scenes.
     Measured on the demo fixture vs the reference LSD's own output:
     default 0.54 / high-recall 0.62 in (15,40], with >40 px recall 0.94 /
-    0.95 (COVERAGE.md)."""
+    0.95 (COVERAGE.md).  (inlier_rho_tol=1.0 would lift these to
+    0.56/0.65 and 0.95/0.97 but costs online ATE — see DetectConfig.)"""
     base = reference_root / "detect_3d_cuboid/data"
     gray = uio.load_image_gray(base / "0000_rgb_raw.jpg")
     ref = uio.read_number_txt(base / "edge_detection/LSD/0000_edge.txt")
