@@ -29,13 +29,22 @@ def _path_key(path) -> str:
     return "/".join(parts)
 
 
+def _resolve(path) -> pathlib.Path:
+    """np.savez appends '.npz' to names lacking the suffix; resolve to the
+    filename that actually lands on disk so save/load stay symmetric (a
+    '<name>.carry' companion is stored as '<name>.carry.npz' — the round-4
+    KITTI-resume bug was load opening the suffix-less name)."""
+    p = pathlib.Path(path)
+    return p if p.suffix == ".npz" else p.with_name(p.name + ".npz")
+
+
 def save_pytree(path, tree) -> None:
     """Save any pytree of arrays to one .npz file (keys = tree paths)."""
     leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
     payload = {}
     for p, leaf in leaves:
         payload[_path_key(p)] = np.asarray(leaf)
-    path = pathlib.Path(path)
+    path = _resolve(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(path, **payload)
 
@@ -45,7 +54,7 @@ def load_pytree(path, template):
 
     Shapes/dtypes must match the template's leaves (strict — resuming into a
     different graph capacity is an error, not a silent truncation)."""
-    data = np.load(pathlib.Path(path))
+    data = np.load(_resolve(path))
     paths, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []
     for p, tmpl_leaf in paths:

@@ -450,7 +450,7 @@ def run_online_frontend(
                 cap_fallbacks=np.asarray(report.cap_fallbacks),
             )
 
-        cp = pathlib.Path(checkpoint_path)
+        cp = ckpt._resolve(checkpoint_path)
         if cp.exists():
             data = np.load(cp)
             # prefix copy: an interrupted run may have been saved with a
@@ -1114,11 +1114,29 @@ def _run_kitti_tracked(
     if checkpoint_path is not None:
         from cube_slam_wu_tpu.slam import checkpoint as ckpt
 
-        cp = pathlib.Path(checkpoint_path)
+        cp = ckpt._resolve(checkpoint_path)
         if cp.exists():
-            data = np.load(cp)
+            # the checkpoint is TWO files written back-to-back (state, then
+            # the graph carry); a crash between the writes — or a stale
+            # state file from an earlier run — leaves a torn pair.  Treat
+            # any unreadable half as "no checkpoint" instead of crashing.
+            try:
+                data = np.load(cp)
+                resumed_carry = ckpt.load_pytree(
+                    cp.parent / (cp.name + ".carry"), carry
+                )
+            except (OSError, ValueError, KeyError) as e:
+                print(
+                    f"[kitti] torn/stale checkpoint at {cp} ({e}); "
+                    "starting fresh",
+                    flush=True,
+                )
+                data = None
+        else:
+            data = None
+        if data is not None:
             start_frame = min(int(data["i_next"]), n)
-            carry = ckpt.load_pytree(cp.parent / (cp.name + ".carry"), carry)
+            carry = resumed_carry
             book.load_state(data)
             m = min(n, data["chi2s"].shape[0])
             chi2s[:m] = data["chi2s"][:m]

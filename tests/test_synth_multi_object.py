@@ -276,3 +276,46 @@ def test_kitti_points_improve_interleaved_drive(tmp_path):
     assert np.isfinite(ate_pts)
     assert ate_pts < 1.0, f"points ATE {ate_pts:.3f}"
     assert ate_pts < ate_base * 0.75, (ate_pts, ate_base)
+
+
+def test_kitti_torn_checkpoint_starts_fresh(tmp_path):
+    """A checkpoint state file whose companion .carry is missing (torn pair
+    from a crash between the two writes, or a stale file from an earlier
+    run) must fall back to a fresh start, not crash (round-4 regression:
+    FileNotFoundError on resume)."""
+    from cube_slam_wu_tpu.slam import pipeline
+    from cube_slam_wu_tpu.utils.metrics import ate_rmse
+
+    seq = synth.make_sequence(
+        n_frames=12, n_objects=2, size=(240, 320), speed=0.35, noise_px=0.5
+    )
+    out, det_dir, poses_path = synth.write_kitti_sequence(seq, tmp_path / "seq")
+    cp = tmp_path / "fe.npz"
+    kw = dict(
+        max_objects=4, max_detections=3, window=8, min_meas=1,
+        pose_feedback=True,  # the two-file (state + .carry) tracked driver
+    )
+    # full run writes the pair; delete the carry half to tear it
+    ref = pipeline.run_kitti_slam(
+        out, det_dir, poses_path, checkpoint_path=cp, checkpoint_every=4, **kw
+    )
+    carry_file = tmp_path / "fe.npz.carry.npz"
+    assert cp.exists() and carry_file.exists()
+    # resume path with an INTACT pair: skips straight to the checkpointed
+    # carry and must reproduce the original trajectory (this load was dead
+    # code before round 4 — save appended .npz to the carry name, load did
+    # not, so every KITTI mid-run resume raised FileNotFoundError)
+    resumed = pipeline.run_kitti_slam(
+        out, det_dir, poses_path, checkpoint_path=cp, checkpoint_every=4, **kw
+    )
+    np.testing.assert_allclose(
+        resumed.traj_Twc_xyzq, ref.traj_Twc_xyzq, atol=1e-5
+    )
+    carry_file.unlink()
+    result = pipeline.run_kitti_slam(
+        out, det_dir, poses_path, checkpoint_path=cp, checkpoint_every=4, **kw
+    )
+    assert np.isfinite(result.traj_Twc_xyzq).all()
+    np.testing.assert_allclose(
+        result.traj_Twc_xyzq, ref.traj_Twc_xyzq, atol=1e-5
+    )
