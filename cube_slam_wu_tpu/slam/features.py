@@ -124,12 +124,21 @@ def track_corners(
         gray_next.reshape(-1), wy[:, :, None] * W + wx[:, None, :]
     )  # flat take: the 2D gather form is ~1.45x slower on TPU
 
-    # numerator: sum(ref * cand) per displacement == grouped VALID conv of
-    # the zero-meaned ref patch over the window (cand's own mean drops out
-    # against sum(ref) ~ 0).  HIGHEST precision keeps the f32 products the
-    # bf16 MXU default would round.
+    # Numerics: everything below runs on the WINDOW-MEAN-SUBTRACTED field.
+    # The raw sum-of-squares form S2 - S1^2/P cancels catastrophically in
+    # f32 (S2 ~ 3e6 for bright windows -> ~0.4 absolute noise on the
+    # variance of low-contrast patches, i.e. 1e-4-level zncc noise that
+    # flips borderline min_zncc decisions); after centering, S2 is on the
+    # order of the variance itself and the cancellation vanishes.
+    win0 = win - jnp.mean(win, axis=(-2, -1), keepdims=True)
+
+    # numerator: sum(ref * (cand - mean_cand)) per displacement == grouped
+    # VALID conv of the zero-meaned ref patch over the centered window,
+    # minus the residual mean term (sum(ref) is only ~0 up to f32
+    # rounding).  HIGHEST precision keeps the f32 products the bf16 MXU
+    # default would round.
     num = jax.lax.conv_general_dilated(
-        win[None],  # (1, K, Wd, Wd)
+        win0[None],  # (1, K, Wd, Wd)
         ref.reshape(K, 1, 2 * r + 1, 2 * r + 1),
         window_strides=(1, 1),
         padding="VALID",
@@ -148,11 +157,25 @@ def track_corners(
             a = hi - lo
         return a
 
-    s1 = box_valid(win)
-    s2 = box_valid(win * win)
+    s1 = box_valid(win0)
+    s2 = box_valid(win0 * win0)
+    ref_sum = jnp.sum(ref, axis=-1)  # ~1e-4 in f32, not exactly 0
+    num = num - (s1 / P) * ref_sum[:, None, None]
     cand_var = jnp.maximum(s2 - s1 * s1 / P, 0.0)
+    # a candidate variance below the cancellation noise floor of the
+    # S2 - S1^2/P form (~s2 * f32-eps * P) is indistinguishable from an
+    # exactly-flat patch, whose true zncc is 0 (the direct per-patch form
+    # returns literally 0 there: cand - mean is exact zeros).  Zero those
+    # lanes instead of dividing the numerator's own rounding residual by a
+    # vanishing norm (measured blowup: |zncc| ~ 20 on sky patches).  The
+    # clip bounds the survivors by Cauchy-Schwarz against num's rounding.
+    reliable = cand_var > 1e-5 * s2 + 1e-6
     cand_n = jnp.sqrt(cand_var + 1e-9)
-    zncc = (num / (ref_n[:, None, None] * cand_n)).reshape(K, -1)  # (K, D)
+    zncc = jnp.where(
+        reliable,
+        jnp.clip(num / (ref_n[:, None, None] * cand_n), -1.0, 1.0),
+        0.0,
+    ).reshape(K, -1)  # (K, D)
 
     sy, sx = jnp.meshgrid(
         jnp.arange(-s, s + 1), jnp.arange(-s, s + 1), indexing="ij"
@@ -161,8 +184,36 @@ def track_corners(
     sx = sx.reshape(-1)  # (D,) — same (sy, sx) row-major order as zncc
     best = jnp.argmax(zncc, axis=-1)
     best_zncc = jnp.take_along_axis(zncc, best[:, None], axis=-1)[:, 0]
-    new_x = (x0 + sx[best]).astype(pts.dtype)
-    new_y = (y0 + sy[best]).astype(pts.dtype)
+
+    # sub-pixel peak: separable 3-point parabola fit on the zncc surface
+    # around the argmax.  Integer-snapped displacements put +-0.5 px of
+    # quantisation noise on EVERY point observation the BA consumes; the
+    # refinement recovers the peak to ~0.1 px (clamped to +-0.5, and
+    # skipped at window borders / degenerate curvature).
+    D1 = 2 * s + 1
+    bi = best // D1
+    bj = best % D1
+
+    def parab(idx_lo, idx_c, idx_hi, valid):
+        z_lo = jnp.take_along_axis(zncc, idx_lo[:, None], axis=-1)[:, 0]
+        z_c = jnp.take_along_axis(zncc, idx_c[:, None], axis=-1)[:, 0]
+        z_hi = jnp.take_along_axis(zncc, idx_hi[:, None], axis=-1)[:, 0]
+        denom = z_lo - 2.0 * z_c + z_hi
+        ok = valid & (denom < -1e-9)
+        off = jnp.where(ok, 0.5 * (z_lo - z_hi) / jnp.where(ok, denom, -1.0), 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    ii = jnp.clip(bi, 1, D1 - 2)
+    jj = jnp.clip(bj, 1, D1 - 2)
+    sub_y = parab(
+        (ii - 1) * D1 + bj, ii * D1 + bj, (ii + 1) * D1 + bj, bi == ii
+    )
+    sub_x = parab(
+        bi * D1 + jj - 1, bi * D1 + jj, bi * D1 + jj + 1, bj == jj
+    )
+
+    new_x = (x0 + sx[best]).astype(pts.dtype) + sub_x.astype(pts.dtype)
+    new_y = (y0 + sy[best]).astype(pts.dtype) + sub_y.astype(pts.dtype)
     inb = (new_x >= r) & (new_x < W - r) & (new_y >= r) & (new_y < H - r)
     tracked = mask & (best_zncc > min_zncc) & inb
     return jnp.stack([new_x, new_y], axis=-1), tracked, best_zncc
