@@ -301,6 +301,27 @@ def main():
             return run
 
         det_ms = _timed_loop(make_detect_loop, n_lo=2, n_hi=8) * 1e3
+        try:
+            # detector roofline: its wall is the (peaks x bins x taps)
+            # support gather, rate-bound like the chamfer
+            import math as _math
+
+            from cube_slam_wu_tpu.ops.detect import DetectConfig
+
+            dc = DetectConfig()
+            nb = int(_math.hypot(*gray.shape) / dc.t_bin) + 2
+            n_perp = int(_math.ceil(dc.inlier_rho_tol)) * 2 + 1
+            det_elems = dc.n_peaks * nb * n_perp
+            det_model_ms = det_elems * rate_ns * 1e-6
+            _log(
+                f"roofline[detector]: support gather {det_elems} elems -> "
+                f"{det_model_ms:.2f} ms model vs {det_ms:.1f} ms measured "
+                f"-> {100 * det_model_ms / det_ms:.0f}% of gather-roofline "
+                f"(remainder: Hough scatter, edge top_k, run extraction, "
+                f"merge — scratch/detect_ablate_r4.py)"
+            )
+        except Exception as e:
+            _log(f"detector roofline skipped: {e}")
         online_ms = det_ms + sec_prod * 1e3  # the online path runs cfg_prod
         pp_ms = max(det_ms, sec_prod * 1e3)
         _log(
