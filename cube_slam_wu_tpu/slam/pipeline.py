@@ -181,6 +181,39 @@ def _se3_inv_mat(T: np.ndarray) -> np.ndarray:
     return out
 
 
+# Per-frame device work consolidated into single launches: every EAGER op
+# through the tunnelled TPU costs ~5-15 ms of wall clock (execution
+# round trips; scratch probes in docs/PERF.md), so the online loop builds
+# its FrameInput and reads back the post-step state via ONE jitted call
+# each, with numpy leaves transferred at dispatch (batched — measured
+# ~30 ms for a 10-leaf pytree vs ~66 ms per individually-committed leaf).
+
+
+@jax.jit
+def _assemble_frame(meas9, quality, has, bbox, w):
+    return tracker.FrameInput(
+        meas=Cuboid.from_minimal(meas9),
+        quality=quality,
+        has_meas=has,
+        active=jnp.asarray(True),
+        bbox=bbox,
+        bbox_weight=jnp.where(has, w, jnp.zeros_like(w)),
+    )
+
+
+@jax.jit
+def _post_step_state(g, i):
+    """Everything the next iteration's host-side prediction and
+    association gate need, in one launch."""
+    i0 = jnp.maximum(i - 1, 0)
+    return (
+        g.cam_Tcw[i].matrix(),
+        g.cam_Tcw[i0].matrix(),
+        g.cube.pose.trans,
+        g.cube_valid,
+    )
+
+
 class _TrackletBook:
     """Host-side tracklet slots shared by the online drivers (the two-phase
     `run_online_frontend` and the interleaved `_run_kitti_tracked`):
@@ -1161,7 +1194,6 @@ def _run_kitti_tracked(
             )
             ckpt.save_pytree(cp.parent / (cp.name + ".carry"), carry)
 
-    zero_meas = Cuboid.identity((O,), dtype)
     # Host-side caches refreshed from the ONE post-step transfer each frame:
     # the two most recent optimized Tcw matrices (constant-velocity pose
     # prediction) and the cuboid landmark positions/validity (3D association
@@ -1212,7 +1244,7 @@ def _run_kitti_tracked(
         roll_p = float(np.arctan2(R_p[2, 1], R_p[2, 2]))
         yaw_p = float(np.arctan2(R_p[1, 0], R_p[0, 0]))
 
-        meas_i = zero_meas
+        meas9 = np.zeros((O, 9))  # from_minimal(0) == Cuboid.identity
         quality_i = np.zeros(O)
         has_i = np.zeros(O, bool)
         bbox_i = np.zeros((O, 4))
@@ -1222,11 +1254,20 @@ def _run_kitti_tracked(
         ok = True
         gray = None
         boxes_c = None
+        gray32 = None
         if not img_path.exists():
             report.missing_image.append(i)
             ok = False
         else:
-            gray = jnp.asarray(uio.load_image_gray(img_path), dtype)
+            # cast on the HOST and upload each dtype once: an on-device
+            # .astype is an eager launch (~10 ms of relay wall each)
+            img_np = uio.load_image_gray(img_path)
+            gray32 = jnp.asarray(np.asarray(img_np, np.float32))
+            gray = (
+                gray32
+                if jnp.dtype(dtype) == jnp.float32
+                else jnp.asarray(np.asarray(img_np, np.dtype(dtype)))
+            )
         if ok and not det_path.exists():
             report.missing_detections.append(i)
             ok = False
@@ -1242,22 +1283,20 @@ def _run_kitti_tracked(
         pt_alive = np.zeros(n_points, bool)
         pt_respawn = np.zeros(n_points, bool)
         pt_ground = np.zeros(n_points, bool)
-        if ftracker is not None and gray is not None:
+        if ftracker is not None and gray32 is not None:
             pt_obs, pt_alive, pt_respawn, pt_ground = ftracker.advance(
-                gray.astype(jnp.float32),
+                gray32,
                 np.asarray(boxes_c)[np.asarray(dmask)]
                 if boxes_c is not None
                 else None,
             )
 
         if ok:
-            lines32, lmask = detect_line_segments(
-                gray.astype(jnp.float32), detect_cfg
-            )
+            lines32, lmask = detect_line_segments(gray32, detect_cfg)
             if line_track_weight > 0.0:
                 line_matched = None
                 desc, dvalid = lbd_ops.lbd_descriptors(
-                    gray.astype(jnp.float32), lines32, lmask
+                    gray32, lines32, lmask
                 )
                 dvalid = dvalid & lmask
                 if prev_desc is not None:
@@ -1344,7 +1383,6 @@ def _run_kitti_tracked(
                     continue
                 det_of_track[o] = d
                 matched[o] = True
-            meas9 = np.zeros((O, 9))
             for o in np.nonzero(matched)[0]:
                 d = int(det_of_track[o])
                 meas9[o], quality_i[o], rng_d = _proposal_measurement(
@@ -1382,44 +1420,36 @@ def _run_kitti_tracked(
                     (x0b + x1b) / 2, (y0b + y1b) / 2, x1b - x0b, y1b - y0b
                 ]
                 has_i[o] = True
-            meas_i = Cuboid.from_minimal(jnp.asarray(meas9, dtype))
 
-        frame = tracker.FrameInput(
-            meas=meas_i,
-            quality=jnp.asarray(quality_i, dtype),
-            has_meas=jnp.asarray(has_i),
-            active=jnp.asarray(True),
-            bbox=jnp.asarray(bbox_i, dtype),
-            bbox_weight=jnp.where(
-                jnp.asarray(has_i), jnp.asarray(bbox_edge_weight, dtype), 0.0
-            ),
+        npdt = np.dtype(jnp.dtype(dtype).name)
+        frame = _assemble_frame(
+            np.asarray(meas9, npdt),
+            np.asarray(quality_i, npdt),
+            has_i,
+            np.asarray(bbox_i, npdt),
+            np.asarray(bbox_edge_weight, npdt),
         )
         if use_points:
             carry, (chi2, cube_min) = step(
                 carry,
                 (
-                    jnp.asarray(i, jnp.int32), frame, first_Twc,
-                    jnp.asarray(pt_obs, dtype), jnp.asarray(pt_alive),
-                    jnp.asarray(pt_respawn), jnp.asarray(pt_ground),
+                    np.int32(i), frame, first_Twc,
+                    np.asarray(pt_obs, npdt), pt_alive,
+                    pt_respawn, pt_ground,
                 ),
             )
         else:
             carry, (chi2, cube_min) = step(
-                carry, (jnp.asarray(i, jnp.int32), frame, first_Twc)
+                carry, (np.int32(i), frame, first_Twc)
             )
-        # ONE transfer per frame: step outputs + everything the next
-        # iteration's host-side prediction and association gate need
+        # ONE launch + ONE transfer per frame: step outputs + everything
+        # the next iteration's host-side prediction and association gate
+        # need
         g_next = carry[0] if windowed else carry
         (
             chi2_h, cube_min_h, T1_h, T2_h, cube_pos_h, cube_valid_h
         ) = jax.device_get(
-            (
-                chi2, cube_min,
-                g_next.cam_Tcw[i].matrix(),
-                g_next.cam_Tcw[max(i - 1, 0)].matrix(),
-                g_next.cube.pose.trans,
-                g_next.cube_valid,
-            )
+            (chi2, cube_min) + _post_step_state(g_next, np.int32(i))
         )
         Tcw_prev = np.asarray(T1_h, np.float64)
         Tcw_prevprev = np.asarray(T2_h, np.float64)
