@@ -87,8 +87,11 @@ def track_corners(
     (K, displacements, patch) formulation re-gathers every window pixel
     ~(2r+1)^2/stride times — 18.7M rate-bound taps at the production
     shapes, 518 ms/frame and the dominant cost of the whole online step
-    (scratch/e2e bisect).  Instead gather each corner's
-    (2(s+r)+1)^2 search window ONCE (~312k taps), correlate the reference
+    (scratch/e2e bisect).  Instead assemble each corner's (2(s+r)+1)^2
+    search window ONCE — image rows by DMA-rate axis-0 gather, columns by
+    one-hot einsum (per-element takes cost ~7 ns/elem regardless of
+    contiguity; block windows shouldn't pay that — 5.9 -> 0.44 ms total
+    at K=256, scratch/tracker_win_probe.log) — correlate the reference
     patch against it with one grouped VALID conv (identical tap values:
     per-tap index clipping commutes with window assembly), and read the
     candidate means/norms from cumsum box sums over the same window."""
@@ -113,16 +116,30 @@ def track_corners(
     ref = ref - jnp.mean(ref, axis=-1, keepdims=True)
     ref_n = jnp.sqrt(jnp.sum(ref * ref, axis=-1) + 1e-9)
 
-    # per-corner search windows, gathered once: (K, Wd, Wd)
+    # per-corner search windows: (K, Wd, Wd).  TPU per-element gathers pay
+    # a flat ~7 ns/elem rate, so materializing K x 57 x 57 windows with a
+    # flat take costs 5.5 ms at K=256 (scratch/tracker_win_probe.log) even
+    # though each window is a contiguous block.  Blocks don't have to pay
+    # per-element rates: gather whole IMAGE ROWS (axis-0 slices move at
+    # DMA bandwidth, ~17 ns/row measured), then select each corner's 57
+    # columns with a one-hot einsum — the MXU does the column pick.  21x:
+    # 0.26 ms at K=256.  Values are bit-identical to the per-element
+    # clipped gather: row and column indices carry the same clip, and a
+    # one-hot dot at HIGHEST precision is exact selection (single 1.0
+    # partner; bf16 MXU rounding of the pixel values must stay off).
     wr = s + r
     Wd = 2 * wr + 1
     off = jnp.arange(-wr, wr + 1)
     wy = jnp.clip(y0[:, None] + off[None, :], 0, H - 1)  # (K, Wd)
     wx = jnp.clip(x0[:, None] + off[None, :], 0, W - 1)
     K = pts.shape[0]
-    win = jnp.take(
-        gray_next.reshape(-1), wy[:, :, None] * W + wx[:, None, :]
-    )  # flat take: the 2D gather form is ~1.45x slower on TPU
+    rows = gray_next[wy]  # (K, Wd, W) — row-contiguous DMA gather
+    onehot = (
+        jnp.arange(W)[None, :, None] == wx[:, None, :]
+    ).astype(gray_next.dtype)  # (K, W, Wd)
+    win = jnp.einsum(
+        "kvp,kpc->kvc", rows, onehot, precision=jax.lax.Precision.HIGHEST
+    )
 
     # Numerics: everything below runs on the WINDOW-MEAN-SUBTRACTED field.
     # The raw sum-of-squares form S2 - S1^2/P cancels catastrophically in
