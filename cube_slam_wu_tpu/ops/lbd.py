@@ -65,61 +65,20 @@ def _gauss_coefs(dtype):
     return coef_l, coef_g
 
 
-@functools.partial(jax.jit, static_argnames=("max_len",))
-def lbd_descriptors(
-    gray: jnp.ndarray,
-    lines: jnp.ndarray,
-    mask: jnp.ndarray,
-    max_len: int = 160,
-):
-    """Compute 72-float LBD descriptors for a padded line set.
-
-    Args:
-      gray: (H, W) grayscale image (the reference computes Sobel on the
-        Gaussian-blurred octave image, binary_descriptor.cpp:352-374).
-      lines: (L, 4) [x1 y1 x2 y2]; mask: (L,).
-      max_len: static cap on the sampled line-support length in pixels.
-
-    Returns (desc (L, 72) float, valid (L,)).
-    """
-    dtype = gray.dtype
-    H, W = gray.shape
-    blur = gaussian_blur5(gray)
-    gx, gy = image_ops.sobel3(blur)
-
-    sx, sy = lines[:, 0], lines[:, 1]
-    ex, ey = lines[:, 2], lines[:, 3]
-    direction = jnp.arctan2(ey - sy, ex - sx)
-    dLx, dLy = jnp.cos(direction), jnp.sin(direction)
+@jax.jit
+def _descriptor_from_samples(gx, gy, xi, yi, w_valid, dLx, dLy):
+    """Shared descriptor core: given gradient maps and per-sample integer
+    coordinates (L, 63, max_len), compute the 72-float LBD exactly as
+    computeLBD does after its sampling loop (binary_descriptor.cpp:
+    1298-1482): gradient projection on (dL, dO), per-row +/- split sums,
+    global/local Gaussian band weighting, mean/std per band, two-stage
+    normalisation, 0.4 clip, re-normalisation."""
+    dtype = gx.dtype
     dOx, dOy = -dLy, dLx  # clockwise orthogonal
-    midx, midy = 0.5 * (sx + ex), 0.5 * (sy + ey)
-    length = jnp.hypot(ex - sx, ey - sy)
-    n_pix = jnp.minimum(jnp.round(length) + 1.0, float(max_len))
-    half_w = (n_pix - 1.0) / 2.0
-
     height = NUM_BANDS * BAND_WIDTH  # 63
-    half_h = (height - 1) // 2  # 31
 
-    h_ids = jnp.arange(height, dtype=dtype)  # (63,)
-    w_ids = jnp.arange(max_len, dtype=dtype)  # (max_len,)
-    w_valid = w_ids[None, :] < n_pix[:, None]  # (L, max_len)
-
-    # sample positions: pos(h, w) = mid + (w - halfW)*dL + (h - halfH)*dO
-    px = (
-        midx[:, None, None]
-        + (w_ids[None, None, :] - half_w[:, None, None]) * dLx[:, None, None]
-        + (h_ids[None, :, None] - half_h) * dOx[:, None, None]
-    )  # (L, 63, max_len)
-    py = (
-        midy[:, None, None]
-        + (w_ids[None, None, :] - half_w[:, None, None]) * dLy[:, None, None]
-        + (h_ids[None, :, None] - half_h) * dOy[:, None, None]
-    )
-    xi = jnp.clip(jnp.round(px).astype(jnp.int32), 0, W - 2)
-    yi = jnp.clip(jnp.round(py).astype(jnp.int32), 0, H - 2)
     dx = gx[yi, xi]
     dy = gy[yi, xi]
-
     gdl = dx * dLx[:, None, None] + dy * dLy[:, None, None]
     gdo = dx * dOx[:, None, None] + dy * dOy[:, None, None]
 
@@ -174,7 +133,219 @@ def lbd_descriptors(
     desc = jnp.minimum(desc, 0.4)  # illumination clipping
     flat = desc.reshape(desc.shape[0], -1)
     flat = flat / jnp.sqrt(jnp.sum(flat * flat, axis=-1, keepdims=True) + 1e-24)
-    return flat.reshape(-1, NUM_BANDS * 8), mask
+    return flat.reshape(-1, NUM_BANDS * 8)
+
+
+@functools.partial(jax.jit, static_argnames=("max_len",))
+def lbd_descriptors(
+    gray: jnp.ndarray,
+    lines: jnp.ndarray,
+    mask: jnp.ndarray,
+    max_len: int = 160,
+    num_pixels: jnp.ndarray | None = None,
+    gradients: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+):
+    """Compute 72-float LBD descriptors for a padded line set.
+
+    Reference semantics (computeLBD, binary_descriptor.cpp:1150-1513):
+    integer halfWidth = (numOfPixels-1)/2, samples rounded half-away-from-
+    zero and clamped to [0, W-1]x[0, H-1], line-support length equal to the
+    Bresenham pixel count (cv::LineIterator semantics ~ Chebyshev length+1,
+    line_lbd_allclass.cpp:62-64), gradients from the blurred image's 3x3
+    Sobel (computeSobel :374-398).  Pinned against the reference compiled
+    from source by tests/test_lbd_oracle_parity.py.
+
+    Args:
+      gray: (H, W) grayscale image (the reference computes Sobel on the
+        Gaussian-blurred octave image, binary_descriptor.cpp:352-374).
+      lines: (L, 4) [x1 y1 x2 y2]; mask: (L,).
+      max_len: static cap on the sampled line-support length in pixels.
+      num_pixels: optional (L,) override of the per-line support length
+        (the reference's KeyLine.numOfPixels); default derives it from the
+        endpoints with LineIterator semantics.
+      gradients: optional precomputed (gx, gy) maps; default recomputes
+        blur+Sobel from `gray`.
+
+    Returns (desc (L, 72) float, valid (L,)).
+    """
+    dtype = gray.dtype
+    H, W = gray.shape
+    if gradients is None:
+        blur = gaussian_blur5(gray)
+        gx, gy = image_ops.sobel3(blur)
+    else:
+        gx, gy = gradients
+        gx = gx.astype(dtype)
+        gy = gy.astype(dtype)
+
+    sx, sy = lines[:, 0], lines[:, 1]
+    ex, ey = lines[:, 2], lines[:, 3]
+    direction = jnp.arctan2(ey - sy, ex - sx)
+    dLx, dLy = jnp.cos(direction), jnp.sin(direction)
+    dOx, dOy = -dLy, dLx  # clockwise orthogonal
+    midx, midy = 0.5 * (sx + ex), 0.5 * (sy + ey)
+    if num_pixels is None:
+        # cv::LineIterator 8-connected count on rounded endpoints
+        n_pix = (
+            jnp.maximum(
+                jnp.abs(jnp.round(ex) - jnp.round(sx)),
+                jnp.abs(jnp.round(ey) - jnp.round(sy)),
+            )
+            + 1.0
+        )
+    else:
+        n_pix = num_pixels.astype(dtype)
+    n_pix = jnp.minimum(n_pix, float(max_len))
+    half_w = jnp.floor((n_pix - 1.0) / 2.0)  # integer halfWidth (ref :1250)
+
+    height = NUM_BANDS * BAND_WIDTH  # 63
+    half_h = (height - 1) // 2  # 31
+
+    h_ids = jnp.arange(height, dtype=dtype)  # (63,)
+    w_ids = jnp.arange(max_len, dtype=dtype)  # (max_len,)
+    w_valid = w_ids[None, :] < n_pix[:, None]  # (L, max_len)
+
+    # sample positions: pos(h, w) = mid + (w - halfW)*dL + (h - halfH)*dO
+    px = (
+        midx[:, None, None]
+        + (w_ids[None, None, :] - half_w[:, None, None]) * dLx[:, None, None]
+        + (h_ids[None, :, None] - half_h) * dOx[:, None, None]
+    )  # (L, 63, max_len)
+    py = (
+        midy[:, None, None]
+        + (w_ids[None, None, :] - half_w[:, None, None]) * dLy[:, None, None]
+        + (h_ids[None, :, None] - half_h) * dOy[:, None, None]
+    )
+    # round half away from zero (C round(); after the >=0 clamp this is
+    # floor(x+0.5) for every value that can land in range)
+    xi = jnp.clip(jnp.floor(px + 0.5).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(jnp.floor(py + 0.5).astype(jnp.int32), 0, H - 1)
+    return _descriptor_from_samples(gx, gy, xi, yi, w_valid, dLx, dLy), mask
+
+
+def reference_gradients(gray_u8):
+    """OpenCV-equivalent gradient maps for LBD parity: GaussianBlur(5x5,
+    sigma=1, BORDER_REFLECT_101) rounded to uint8, then 3x3 Sobel (CV_16S,
+    BORDER_REFLECT_101) — BinaryDescriptor::computeSobel
+    (binary_descriptor.cpp:352-398) at octave 0.
+
+    The Sobel stage is bit-exact vs the reference build.  The blur stage
+    matches to +/-1 gray level: OpenCV's 8U Gaussian runs a fixed-point
+    (position-dependent, IPP-backed) pipeline whose exact rounding is not
+    reproducible from the documented kernel; measured agreement on the
+    cabinet fixture is 54% exact / 46% off-by-one (scratch/
+    lbd_parity_proto.py).  Pass oracle-dumped (dx, dy) to
+    `lbd_descriptors(..., gradients=...)` when exact parity is required.
+
+    Returns (gx, gy) int32 arrays.
+    """
+    import numpy as np
+
+    g = np.asarray(gray_u8, np.float64)
+    x = np.arange(5.0) - 2.0
+    k = np.exp(-(x * x) / 2.0)
+    k = k / k.sum()
+    a = np.pad(g, 2, mode="reflect")  # BORDER_REFLECT_101
+    H, W = g.shape
+    h = sum(k[i] * a[:, i : i + W] for i in range(5))
+    v = sum(k[i] * h[i : i + H, :] for i in range(5))
+    blur = np.clip(np.rint(v), 0, 255).astype(np.int64)
+    b = np.pad(blur, 1, mode="reflect")
+    sm_v = b[0:H, :] + 2 * b[1 : H + 1, :] + b[2 : H + 2, :]
+    gx = sm_v[:, 2 : W + 2] - sm_v[:, 0:W]
+    sm_h = b[:, 0:W] + 2 * b[:, 1 : W + 1] + b[:, 2 : W + 2]
+    gy = sm_h[2 : H + 2, :] - sm_h[0:H, :]
+    return gx.astype(np.int32), gy.astype(np.int32)
+
+
+def lbd_descriptors_ref_exact(
+    gray_shape,
+    gradients,
+    lines,
+    angles,
+    num_pixels,
+    max_len: int = 700,
+):
+    """Reference-exact LBD path (test/oracle infrastructure).
+
+    computeLBD accumulates its sample coordinates sequentially in float32
+    (sCorX += dL[0] per column, sCorX0 -= dL[1] per row,
+    binary_descriptor.cpp:1270-1327); near .5-boundaries the accumulated
+    f32 rounding decides which pixel gets sampled, so bit-faithful parity
+    requires replicating that accumulation order.  This wrapper reproduces
+    the C scalar setup + accumulation with host numpy float32 ops (IEEE f32
+    adds in C program order), then runs the SAME jitted descriptor core the
+    production path uses (`_descriptor_from_samples`).
+
+    Args:
+      gray_shape: (H, W) of the octave image.
+      gradients: (gx, gy) int arrays (e.g. oracle dx/dy dumps or
+        `reference_gradients`).
+      lines: (L, 4) endpoints; angles: (L,) KeyLine.angle (f32);
+      num_pixels: (L,) KeyLine.numOfPixels.
+
+    Returns desc (L, 72) float32.
+    """
+    import numpy as np
+
+    f32 = np.float32
+    H, W = gray_shape
+    lines = np.asarray(lines, np.float64)
+    sx = lines[:, 0].astype(f32)
+    sy = lines[:, 1].astype(f32)
+    ex = lines[:, 2].astype(f32)
+    ey = lines[:, 3].astype(f32)
+    angle = np.asarray(angles, f32)
+    npix = np.minimum(np.asarray(num_pixels, np.int64), max_len)
+
+    # C scalar setup (:1249-1271), f32 op order
+    dL0 = np.cos(angle.astype(np.float64)).astype(f32)
+    dL1 = np.sin(angle.astype(np.float64)).astype(f32)
+    halfW = ((npix - 1) // 2).astype(f32)
+    midx = (np.float64(0.5) * (sx + ex).astype(np.float64)).astype(f32)
+    midy = (np.float64(0.5) * (sy + ey).astype(np.float64)).astype(f32)
+    height = NUM_BANDS * BAND_WIDTH
+    half_h = f32((height - 1) // 2)
+    rx = ((-dL0 * halfW).astype(f32) + (dL1 * half_h).astype(f32)).astype(f32) + midx
+    ry = ((-dL1 * halfW).astype(f32) - (dL0 * half_h).astype(f32)).astype(f32) + midy
+    rx = rx.astype(f32)
+    ry = ry.astype(f32)
+
+    L = len(lines)
+    max_np = int(npix.max()) if L else 1
+    # np.add.accumulate is a strict left fold at the accumulator dtype, i.e.
+    # the same IEEE-f32 add sequence as the C loops.
+    row_sx = np.add.accumulate(
+        np.concatenate([rx[None], np.broadcast_to(-dL1, (height - 1, L))]), axis=0, dtype=f32
+    )  # (63, L) row starts
+    row_sy = np.add.accumulate(
+        np.concatenate([ry[None], np.broadcast_to(dL0, (height - 1, L))]), axis=0, dtype=f32
+    )
+    cx = np.add.accumulate(
+        np.concatenate(
+            [row_sx[None], np.broadcast_to(dL0, (max_np - 1, height, L))]
+        ),
+        axis=0,
+        dtype=f32,
+    )  # (max_np, 63, L)
+    cy = np.add.accumulate(
+        np.concatenate(
+            [row_sy[None], np.broadcast_to(dL1, (max_np - 1, height, L))]
+        ),
+        axis=0,
+        dtype=f32,
+    )
+    xi = np.clip(np.floor(cx.astype(np.float64) + 0.5), 0, W - 1).astype(np.int32)
+    yi = np.clip(np.floor(cy.astype(np.float64) + 0.5), 0, H - 1).astype(np.int32)
+    xi = np.transpose(xi, (2, 1, 0))  # (L, 63, max_np)
+    yi = np.transpose(yi, (2, 1, 0))
+
+    w_valid = jnp.asarray(np.arange(max_np)[None, :] < npix[:, None])
+    gx = jnp.asarray(np.asarray(gradients[0]), jnp.float32)
+    gy = jnp.asarray(np.asarray(gradients[1]), jnp.float32)
+    return _descriptor_from_samples(
+        gx, gy, jnp.asarray(xi), jnp.asarray(yi), w_valid, jnp.asarray(dL0), jnp.asarray(dL1)
+    )
 
 
 def lbd_descriptors_octaves(
@@ -234,6 +405,21 @@ def binarize_lbd(desc: jnp.ndarray) -> jnp.ndarray:
         bits.astype(jnp.uint32) << shifts[None, None, :], axis=-1, dtype=jnp.uint32
     )
     return words
+
+
+def pack_lbd_bytes(desc_bytes: jnp.ndarray) -> jnp.ndarray:
+    """Convert reference-layout 32-byte binary descriptors (byte p = the 8
+    comparison bits of band pair p, binaryConversion bit j = 1<<j,
+    binary_descriptor.cpp:405-416/:769-773) into the (L, 8)-uint32 word
+    layout `binarize_lbd` produces, so stored reference descriptors can be
+    matched against ours directly."""
+    b = jnp.asarray(desc_bytes, jnp.uint32)  # (L, 32)
+    L = b.shape[0]
+    shifts = jnp.arange(8, dtype=jnp.uint32)
+    bits = (b[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)  # (L, 32p, 8j)
+    bits = bits.reshape(L, 8, 32)  # same flatten order as binarize_lbd
+    wshifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(bits << wshifts[None, None, :], axis=-1, dtype=jnp.uint32)
 
 
 def _popcount32(x: jnp.ndarray) -> jnp.ndarray:

@@ -69,10 +69,11 @@ def test_match_across_frames(reference_root):
     d2, _ = lbd.lbd_descriptors(g2, l2, m2)
     w1, w2 = lbd.binarize_lbd(d1), lbd.binarize_lbd(d2)
     # raw reference-semantics NN matching produces matches (the exact count
-    # tracks the detector's line set; 11 with the gather-based detector's
-    # default config — the quality tracking path is l2_match, not this)
+    # tracks the detector's line set; 9 with the gather-based detector's
+    # default config under the oracle-pinned reference sampling semantics —
+    # the quality tracking path is l2_match, not this)
     _, _, nn_matched = lbd.hamming_match(w1, w2, m1, m2)
-    assert int(np.asarray(nn_matched).sum()) >= 10
+    assert int(np.asarray(nn_matched).sum()) >= 8
     # quality path: mutual-consistency filtered
     idx, dist, matched = lbd.match_lines_filtered(w1, w2, m1, m2)
     idx, matched = np.asarray(idx), np.asarray(matched)
