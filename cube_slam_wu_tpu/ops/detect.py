@@ -72,6 +72,22 @@ class DetectConfig:
     # defaults are what the online-ATE numbers are pinned to.
     nfa_validation: bool = False
     nfa_log10_eps: float = 0.0  # keep if log10(NFA) < this (eps = 1)
+    # Additive short-segment recovery (round-5 verdict item 6): after the
+    # main pass, zero the edge pixels its accepted segments claim and run a
+    # second extraction with a lower run gate on the residual — short
+    # structures whose Hough peaks lost to long segments in pass 1 can now
+    # win.  Pass-2 segments never perturb the pass-1 set: they only fill
+    # EMPTY output slots after a dominance dedupe against pass 1
+    # (detect_line_segments_recover).  Off by default; ~2x detector cost.
+    short_recovery: bool = False
+    short_min_inliers: float = 4.0  # pass-2 run gate (~8 px)
+    short_n_peaks: int = 512
+    short_extra_capacity: int = 384  # extra output slots for recovered segs
+    # claim tightness: greedier claiming (3 px / 14 deg) eats the evidence
+    # of short segments ADJACENT to accepted long ones and caps the 15-40 px
+    # union recall at ~0.69; the tight setting measures 0.75 (fixture sweep)
+    claim_rho_px: float = 1.5  # pixel-to-segment claim distance
+    claim_angle_deg: float = 8.0
 
 
 def gaussian_blur5(gray: jnp.ndarray, sigma: float = 1.0) -> jnp.ndarray:
@@ -99,11 +115,18 @@ def _angle_dist_pi(a, b):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def detect_line_segments(gray: jnp.ndarray, cfg: DetectConfig = DetectConfig()):
+def detect_line_segments(
+    gray: jnp.ndarray,
+    cfg: DetectConfig = DetectConfig(),
+    suppress: jnp.ndarray | None = None,
+):
     """Detect line segments.
 
     Returns (lines (K, 4) [x1 y1 x2 y2] left-to-right, mask (K,)) with
     K = min(max_output, n_peaks * runs_per_peak) (top-K by length).
+
+    `suppress` (optional (H, W) bool) removes edge pixels from every stage
+    (votes AND support sampling) — the recovery pass's claimed-pixel mask.
     """
     dtype = gray.dtype
     H, W = gray.shape
@@ -111,6 +134,8 @@ def detect_line_segments(gray: jnp.ndarray, cfg: DetectConfig = DetectConfig()):
     gx, gy = image_ops.sobel3(g)
     mag = jnp.abs(gx) + jnp.abs(gy)
     keep = image_ops._nms(mag, gx, gy) & (mag > cfg.grad_threshold)
+    if suppress is not None:
+        keep = keep & ~suppress
 
     # normal (gradient) angle folded to [0, pi)
     psi = jnp.mod(jnp.arctan2(gy, gx), math.pi)
@@ -406,6 +431,121 @@ def detect_line_segments(gray: jnp.ndarray, cfg: DetectConfig = DetectConfig()):
     lens = jnp.where(merged_mask, line_ops.line_lengths(merged), 0.0)
     _, out_idx = jax.lax.top_k(lens, K)
     return merged[out_idx], merged_mask[out_idx] & (lens[out_idx] > 0)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "rho_tol", "ang_tol_deg"))
+def _claimed_mask(shape, psi, lines, mask, rho_tol: float, ang_tol_deg: float):
+    """(H, W) bool: pixels geometrically claimed by the accepted segments
+    (within `rho_tol` of the segment, inside its span +-2 px, gradient
+    normal within `ang_tol_deg` of the segment normal).  lax.fori over
+    segments with an (H, W) carry — O(K * H * W) flops, O(H * W) memory."""
+    H, W = shape
+    dtype = lines.dtype
+    ys = jnp.arange(H, dtype=dtype)[:, None]
+    xs = jnp.arange(W, dtype=dtype)[None, :]
+    ang_tol = math.radians(ang_tol_deg)
+
+    def body(i, claimed):
+        x1, y1, x2, y2 = lines[i]
+        dx, dy = x2 - x1, y2 - y1
+        L = jnp.sqrt(dx * dx + dy * dy) + 1e-9
+        ux, uy = dx / L, dy / L
+        rx = xs - x1
+        ry = ys - y1
+        perp = jnp.abs(rx * (-uy) + ry * ux)
+        t = rx * ux + ry * uy
+        normal_ang = jnp.mod(jnp.arctan2(dy, dx) + math.pi / 2, math.pi)
+        ang_ok = _angle_dist_pi(psi, normal_ang) < ang_tol
+        hit = (
+            mask[i]
+            & (perp <= rho_tol)
+            & (t >= -2.0)
+            & (t <= L + 2.0)
+            & ang_ok
+        )
+        return claimed | hit
+
+    init = jnp.zeros((H, W), bool)
+    return jax.lax.fori_loop(0, lines.shape[0], body, init)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def detect_line_segments_recover(
+    gray: jnp.ndarray, cfg: DetectConfig = DetectConfig()
+):
+    """Two-pass detection with ADDITIVE short-segment recovery.
+
+    Pass 1 is exactly `detect_line_segments(gray, cfg)` — its output slots
+    are preserved verbatim (same segments, same length-descending order).
+    Pass 2 reruns the extraction on the residual edge field (pass-1 claimed
+    pixels suppressed) with a lower run gate (`short_min_inliers`) and its
+    own peak budget, recovering short structures whose Hough evidence lost
+    to long segments (the reference's region growers find these locally,
+    lsd.cpp:637; a global accumulator needs the second look).  Pass-2
+    segments dominated by a pass-1 segment are dropped; survivors fill the
+    EMPTY output slots only.
+
+    Returns (lines (K, 4), mask (K,)) like detect_line_segments.
+    """
+    l1, m1 = detect_line_segments(gray, cfg)
+    H, W = gray.shape
+    g = gaussian_blur5(gray)
+    gx, gy = image_ops.sobel3(g)
+    psi = jnp.mod(jnp.arctan2(gy, gx), math.pi)
+    claimed = _claimed_mask(
+        (H, W), psi, l1, m1, cfg.claim_rho_px, cfg.claim_angle_deg
+    )
+    cfg2 = dataclasses.replace(
+        cfg,
+        min_inliers=cfg.short_min_inliers,
+        n_peaks=cfg.short_n_peaks,
+    )
+    l2, m2 = detect_line_segments(gray, cfg2, suppress=claimed)
+
+    # dominance dedupe: drop pass-2 segments a pass-1 segment already covers
+    d1 = l1[:, 2:4] - l1[:, 0:2]
+    len1 = jnp.linalg.norm(d1, axis=-1) + 1e-9
+    u1 = d1 / len1[:, None]
+    n1 = jnp.stack([-u1[:, 1], u1[:, 0]], axis=-1)
+    rel_a = l2[None, :, 0:2] - l1[:, None, 0:2]  # (K1, K2, 2)
+    rel_b = l2[None, :, 2:4] - l1[:, None, 0:2]
+    perp = jnp.maximum(
+        jnp.abs(jnp.einsum("ijk,ik->ij", rel_a, n1)),
+        jnp.abs(jnp.einsum("ijk,ik->ij", rel_b, n1)),
+    )
+    ta = jnp.einsum("ijk,ik->ij", rel_a, u1) / len1[:, None]
+    tb = jnp.einsum("ijk,ik->ij", rel_b, u1) / len1[:, None]
+    ov = jnp.minimum(jnp.maximum(ta, tb), 1.0) - jnp.maximum(
+        jnp.minimum(ta, tb), 0.0
+    )
+    a1 = jnp.arctan2(d1[:, 1], d1[:, 0])
+    a2 = jnp.arctan2(l2[:, 3] - l2[:, 1], l2[:, 2] - l2[:, 0])
+    d_ang = _angle_dist_pi(a1[:, None], a2[None, :])
+    dominated = jnp.any(
+        m1[:, None]
+        & (perp < 3.0)
+        & (ov > 0.5)
+        & (d_ang < math.radians(5.0)),
+        axis=0,
+    )
+    m2 = m2 & ~dominated
+
+    # pass-1 keeps its slots verbatim (priority offset); pass-2 survivors
+    # follow by length in the extra output capacity, so downstream consumers
+    # of the plain detector see an unchanged prefix
+    K = l1.shape[0]
+    K_out = K + cfg.short_extra_capacity
+    all_lines = jnp.concatenate([l1, l2], axis=0)
+    all_mask = jnp.concatenate([m1, m2], axis=0)
+    lens = jnp.where(
+        all_mask, jnp.linalg.norm(all_lines[:, 2:4] - all_lines[:, 0:2], axis=-1), 0.0
+    )
+    prio = lens + jnp.where(
+        jnp.arange(all_lines.shape[0]) < K, jnp.asarray(1e6, lens.dtype), 0.0
+    )
+    prio = jnp.where(all_mask, prio, 0.0)
+    _, sel = jax.lax.top_k(prio, min(K_out, all_lines.shape[0]))
+    return all_lines[sel], all_mask[sel] & (prio[sel] > 0)
 
 
 def downsample2(gray: jnp.ndarray) -> jnp.ndarray:

@@ -77,8 +77,12 @@ def _descriptor_from_samples(gx, gy, xi, yi, w_valid, dLx, dLy):
     dOx, dOy = -dLy, dLx  # clockwise orthogonal
     height = NUM_BANDS * BAND_WIDTH  # 63
 
-    dx = gx[yi, xi]
-    dy = gy[yi, xi]
+    # flat 1-D takes: XLA lowers the 2-D gather form to a ~1.45x slower
+    # per-element path on TPU (scratch/gather_bench.log); values identical
+    W = gx.shape[1]
+    flat_idx = yi * W + xi
+    dx = jnp.take(gx.reshape(-1), flat_idx)
+    dy = jnp.take(gy.reshape(-1), flat_idx)
     gdl = dx * dLx[:, None, None] + dy * dLy[:, None, None]
     gdo = dx * dOx[:, None, None] + dy * dOy[:, None, None]
 

@@ -157,6 +157,14 @@ def worker_main(argv=None) -> None:
     p.add_argument("--out", required=True)
     args = p.parse_args(argv)
 
+    # fault-injection hook for the launch() liveness test: the named worker
+    # dies BEFORE joining the distributed runtime, so the remaining workers
+    # block in initialize — launch() must detect the death and fail fast
+    # instead of hanging until the gloo timeout.
+    if os.environ.get("CUBESLAM_MH_DIE_BEFORE_INIT") == str(args.process_id):
+        print(f"[multihost p{args.process_id}] injected pre-init death", flush=True)
+        sys.exit(3)
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -279,13 +287,23 @@ def launch(
     out_dir: str | None = None,
     port: int | None = None,
     timeout_s: int = 900,
+    fail_fast_grace_s: float = 10.0,
 ) -> list[str]:
     """Spawn `num_processes` OS processes on the CPU backend, each with
     `local_devices` virtual devices, run `worker_main`, and return the
     per-process result lines.  Raises on any worker failure.  The
     coordinator port is picked fresh from the OS by default; pass `port`
-    only to pin it explicitly."""
+    only to pin it explicitly.
+
+    Liveness supervision: workers are POLLED, not joined sequentially — if
+    any worker dies while others are still running (e.g. one crashed before
+    `jax.distributed.initialize`, leaving the rest blocked on the
+    coordinator barrier), the survivors are killed after `fail_fast_grace_s`
+    and a RuntimeError naming the dead worker is raised in seconds instead
+    of hanging until the distributed-runtime timeout
+    (tests/test_multihost.py::test_worker_death_fails_fast)."""
     import tempfile
+    import time
 
     port = port if port is not None else _free_port()
     out_dir = out_dir or tempfile.mkdtemp(prefix="cubeslam_mh_")
@@ -303,9 +321,13 @@ def launch(
 
     procs = []
     outs = []
+    log_files = []
+    log_paths = []
     for pid in range(num_processes):
         out_path = os.path.join(out_dir, f"worker_{pid}.txt")
+        log_path = os.path.join(out_dir, f"worker_{pid}.log")
         outs.append(out_path)
+        log_paths.append(log_path)
         cmd = [
             sys.executable,
             "-m",
@@ -319,30 +341,73 @@ def launch(
             "--out",
             out_path,
         ]
+        lf = open(log_path, "w")
+        log_files.append(lf)
         procs.append(
-            subprocess.Popen(
-                cmd,
-                env=env_base,
-                stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT,
-                text=True,
-            )
+            subprocess.Popen(cmd, env=env_base, stdout=lf, stderr=lf)
         )
-    results = []
-    logs = []
-    for pr in procs:
+
+    def read_log(pid):
         try:
-            log, _ = pr.communicate(timeout=timeout_s)
-        except subprocess.TimeoutExpired:
-            for q in procs:
+            if not log_files[pid].closed:
+                log_files[pid].flush()
+            with open(log_paths[pid]) as f:
+                return f.read()[-4000:]
+        except OSError:
+            return "<no log>"
+
+    def kill_all():
+        for q in procs:
+            if q.poll() is None:
                 q.kill()
-            raise
-        logs.append(log)
+        for q in procs:
+            try:
+                q.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                pass
+
+    try:
+        deadline = time.monotonic() + timeout_s
+        first_death = None  # (pid, rc, time)
+        while True:
+            running = [pr.poll() is None for pr in procs]
+            failed = [
+                pid
+                for pid, pr in enumerate(procs)
+                if pr.poll() is not None and pr.returncode != 0
+            ]
+            if failed and first_death is None:
+                first_death = (failed[0], procs[failed[0]].returncode,
+                               time.monotonic())
+            if not any(running):
+                break
+            if first_death is not None and (
+                time.monotonic() - first_death[2] > fail_fast_grace_s
+            ):
+                pid, rc, _ = first_death
+                kill_all()
+                raise RuntimeError(
+                    f"multihost worker {pid} died (rc={rc}) while "
+                    f"{sum(running)} worker(s) were still running; "
+                    f"killed survivors.  Worker {pid} log:\n{read_log(pid)}"
+                )
+            if time.monotonic() > deadline:
+                kill_all()
+                raise TimeoutError(
+                    f"multihost launch exceeded {timeout_s}s; killed all "
+                    f"workers.  Worker 0 log:\n{read_log(0)}"
+                )
+            time.sleep(0.25)
+    finally:
+        for lf in log_files:
+            lf.close()
+
+    results = []
     for pid, (pr, out_path) in enumerate(zip(procs, outs)):
         if pr.returncode != 0 or not os.path.exists(out_path):
             raise RuntimeError(
                 f"multihost worker {pid} failed "
-                f"(rc={pr.returncode}):\n{logs[pid][-4000:]}"
+                f"(rc={pr.returncode}):\n{read_log(pid)}"
             )
         with open(out_path) as f:
             results.append(f.read().strip())

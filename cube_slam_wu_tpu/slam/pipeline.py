@@ -412,7 +412,11 @@ def run_online_frontend(
     behaviour, where the one object is observed in nearly every frame.
     """
     from cube_slam_wu_tpu.core import rotations as rotu
-    from cube_slam_wu_tpu.ops.detect import DetectConfig, detect_line_segments
+    from cube_slam_wu_tpu.ops.detect import (
+        DetectConfig,
+        detect_line_segments as _dls,
+        detect_line_segments_recover,
+    )
     from cube_slam_wu_tpu.ops.proposal import (
         ProposalConfig,
         detect_cuboid_single,
@@ -420,6 +424,9 @@ def run_online_frontend(
     )
 
     detect_cfg = detect_cfg or DetectConfig()
+    detect_line_segments = (
+        detect_line_segments_recover if detect_cfg.short_recovery else _dls
+    )
     over = dict(proposal_overrides or {})
     over.setdefault("nominal_skew_ratio", 2.0)  # main_obj.cpp:499
     # f32-stable winner selection (see ProposalConfig.rank_margin): the

@@ -107,7 +107,7 @@ for K in (96, 256):
 
     def c_rowgather_einsum(c):
         pad = jnp.pad(gray + c * 1e-32, wr, mode="edge")
-        rows = pad[wr + y0[:, None] + off[None, :] - wr]  # (K, Wd, Wp)
+        rows = pad[y0[:, None] + wr + off[None, :]]  # (K, Wd, Wp) padded rows
         win = jnp.einsum(
             "kvp,kpc->kvc", rows, onehot,
             precision=jax.lax.Precision.HIGHEST,
@@ -118,7 +118,7 @@ for K in (96, 256):
 
     def d_rowgather_take(c):
         pad = jnp.pad(gray + c * 1e-32, wr, mode="edge")
-        rows = pad[y0[:, None] + off[None, :]]  # (K, Wd, Wp) padded rows
+        rows = pad[y0[:, None] + wr + off[None, :]]  # (K, Wd, Wp) padded rows
         win = jnp.take_along_axis(
             rows, jnp.broadcast_to(cols[:, None, :], (K, Wd, Wd)), axis=2
         )

@@ -203,3 +203,36 @@ def test_short_band_recall_quantified(reference_root):
     r_high = band_recall(high)
     assert r_high >= 0.58, r_high
     assert r_high > r_default
+
+
+def test_short_band_recovery_pass(reference_root):
+    """Additive recovery pass (round-5 verdict item 6): pass-1 claimed
+    pixels suppressed, residual re-extraction with a lower run gate, pass-2
+    survivors fill EXTRA output slots only.  Measured 0.751 in (15, 40]
+    (vs 0.54 single-pass) with >40 px recall 0.968 and the pass-1 slot
+    prefix preserved verbatim."""
+    from cube_slam_wu_tpu.ops.detect import detect_line_segments_recover
+
+    base = reference_root / "detect_3d_cuboid/data"
+    gray = uio.load_image_gray(base / "0000_rgb_raw.jpg")
+    ref = uio.read_number_txt(base / "edge_detection/LSD/0000_edge.txt")
+    lens = np.hypot(ref[:, 2] - ref[:, 0], ref[:, 3] - ref[:, 1])
+    band = ref[(lens > 15) & (lens <= 40)]
+    long_band = ref[lens > 40]
+
+    cfg = DetectConfig()
+    lines, mask = detect_line_segments_recover(jnp.asarray(gray), cfg)
+    det = np.asarray(lines)[np.asarray(mask)]
+    r_short = sum(any(_match(l, r) for l in det) for r in band) / len(band)
+    r_long = sum(any(_match(l, r) for l in det) for r in long_band) / len(
+        long_band
+    )
+    assert r_short >= 0.73, r_short
+    assert r_long >= 0.94, r_long
+
+    # additivity: the single-pass output is the verbatim prefix
+    l1, m1 = detect_line_segments(jnp.asarray(gray), cfg)
+    n1 = int(np.asarray(m1).sum())
+    assert np.array_equal(
+        np.asarray(l1)[np.asarray(m1)], np.asarray(lines)[:n1]
+    )

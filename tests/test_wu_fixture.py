@@ -41,12 +41,20 @@ def wu_inputs(reference_root):
     return gray, boxes, conf, mask, T_wc
 
 
+def test_wu_0005_input_sanity(wu_inputs):
+    """Fixture-data sanity lives in its own test (not inside the module
+    fixtures) so input drift reports as ONE clear failure instead of an
+    ERROR in every dependent test."""
+    gray, boxes, conf, mask, T_wc = wu_inputs
+    assert mask.sum() == 1 and conf[0] == pytest.approx(0.40)
+    _, lmask = detect_line_segments(jnp.asarray(gray))
+    assert int(jnp.sum(lmask)) >= 30  # textured VGA frame
+
+
 @pytest.fixture(scope="module")
 def wu_proposal(wu_inputs):
     gray, boxes, conf, mask, T_wc = wu_inputs
-    assert mask.sum() == 1 and conf[0] == pytest.approx(0.40)
     lines, lmask = detect_line_segments(jnp.asarray(gray))
-    assert int(jnp.sum(lmask)) >= 30  # textured VGA frame
     cfg = ProposalConfig(max_lines=int(lines.shape[0]))
     res = detect_cuboid_single(
         jnp.asarray(gray),
