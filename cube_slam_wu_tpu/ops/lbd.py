@@ -30,9 +30,6 @@ import math
 import jax
 import jax.numpy as jnp
 
-from cube_slam_wu_tpu.ops import image as image_ops
-from cube_slam_wu_tpu.ops.detect import gaussian_blur5
-
 NUM_BANDS = 9
 BAND_WIDTH = 7
 
@@ -65,24 +62,64 @@ def _gauss_coefs(dtype):
     return coef_l, coef_g
 
 
+_GRAD_BIAS = 1020.0  # |3x3 Sobel of a u8 image| <= 4*255
+_GRAD_SCALE = 2048.0  # bias*2*scale + bias*2 = 4.18M < 2^24: exact in f32
+
+
+def _pack_gradients(gx, gy):
+    """Pack the two INTEGER-VALUED gradient maps into one f32 so each
+    descriptor sample costs ONE gather instead of two (TPU gathers are
+    rate-bound per element).  Exact: Sobel-of-u8 values are ints in
+    [-1020, 1020], so (gx+1020)*2048 + (gy+1020) <= 4.18M sits inside the
+    f32 24-bit mantissa."""
+    gxr = jnp.round(gx.astype(jnp.float32))
+    gyr = jnp.round(gy.astype(jnp.float32))
+    return (gxr + _GRAD_BIAS) * _GRAD_SCALE + (gyr + _GRAD_BIAS)
+
+
+def int_gradients(gray):
+    """Reference-semantics gradient maps as a jitted op: 5x5 sigma-1
+    Gaussian blur (reflect-101 border) ROUNDED to u8 levels, then integer
+    3x3 Sobel (BinaryDescriptor::computeSobel, binary_descriptor.cpp:
+    352-398; the reference's Sobel runs on the quantised blurred image).
+    Returns float32 maps holding exact integers."""
+    g = jnp.asarray(gray, jnp.float32)
+    x = jnp.arange(5.0) - 2.0
+    k = jnp.exp(-(x * x) / 2.0)
+    k = (k / jnp.sum(k)).astype(jnp.float32)
+    a = jnp.pad(g, 2, mode="reflect")  # BORDER_REFLECT_101
+    H, W = g.shape
+    h = sum(k[i] * jax.lax.dynamic_slice_in_dim(a, i, W, axis=1) for i in range(5))
+    v = sum(k[i] * jax.lax.dynamic_slice_in_dim(h, i, H, axis=0) for i in range(5))
+    blur = jnp.clip(jnp.round(v), 0.0, 255.0)
+    b = jnp.pad(blur, 1, mode="reflect")
+    sm_v = b[0:H, :] + 2.0 * b[1 : H + 1, :] + b[2 : H + 2, :]
+    gx = sm_v[:, 2 : W + 2] - sm_v[:, 0:W]
+    sm_h = b[:, 0:W] + 2.0 * b[:, 1 : W + 1] + b[:, 2 : W + 2]
+    gy = sm_h[2 : H + 2, :] - sm_h[0:H, :]
+    return gx, gy
+
+
 @jax.jit
-def _descriptor_from_samples(gx, gy, xi, yi, w_valid, dLx, dLy):
-    """Shared descriptor core: given gradient maps and per-sample integer
-    coordinates (L, 63, max_len), compute the 72-float LBD exactly as
-    computeLBD does after its sampling loop (binary_descriptor.cpp:
-    1298-1482): gradient projection on (dL, dO), per-row +/- split sums,
-    global/local Gaussian band weighting, mean/std per band, two-stage
-    normalisation, 0.4 clip, re-normalisation."""
-    dtype = gx.dtype
+def _descriptor_from_samples(packed, xi, yi, w_valid, dLx, dLy):
+    """Shared descriptor core: given the PACKED gradient map
+    (`_pack_gradients`) and per-sample integer coordinates (L, 63,
+    max_len), compute the 72-float LBD exactly as computeLBD does after
+    its sampling loop (binary_descriptor.cpp:1298-1482): gradient
+    projection on (dL, dO), per-row +/- split sums, global/local Gaussian
+    band weighting, mean/std per band, two-stage normalisation, 0.4 clip,
+    re-normalisation."""
+    dtype = packed.dtype
     dOx, dOy = -dLy, dLx  # clockwise orthogonal
     height = NUM_BANDS * BAND_WIDTH  # 63
 
-    # flat 1-D takes: XLA lowers the 2-D gather form to a ~1.45x slower
-    # per-element path on TPU (scratch/gather_bench.log); values identical
-    W = gx.shape[1]
+    # ONE flat 1-D take per sample (flat form: the 2-D gather lowers to a
+    # ~1.45x slower per-element path on TPU, scratch/gather_bench.log)
+    W = packed.shape[1]
     flat_idx = yi * W + xi
-    dx = jnp.take(gx.reshape(-1), flat_idx)
-    dy = jnp.take(gy.reshape(-1), flat_idx)
+    v = jnp.take(packed.reshape(-1), flat_idx)
+    dx = jnp.floor(v / _GRAD_SCALE) - _GRAD_BIAS
+    dy = v - (dx + _GRAD_BIAS) * _GRAD_SCALE - _GRAD_BIAS
     gdl = dx * dLx[:, None, None] + dy * dLy[:, None, None]
     gdo = dx * dOx[:, None, None] + dy * dOy[:, None, None]
 
@@ -175,12 +212,14 @@ def lbd_descriptors(
     dtype = gray.dtype
     H, W = gray.shape
     if gradients is None:
-        blur = gaussian_blur5(gray)
-        gx, gy = image_ops.sobel3(blur)
+        # reference-semantics integer gradients (rounded u8 blur + integer
+        # Sobel): matches computeSobel to the u8 blur's +-1 fixed-point
+        # quantisation, and integer values enable the exact packed
+        # single-gather sampling below
+        gx, gy = int_gradients(gray)
     else:
         gx, gy = gradients
-        gx = gx.astype(dtype)
-        gy = gy.astype(dtype)
+    packed = _pack_gradients(gx, gy)
 
     sx, sy = lines[:, 0], lines[:, 1]
     ex, ey = lines[:, 2], lines[:, 3]
@@ -224,7 +263,7 @@ def lbd_descriptors(
     # floor(x+0.5) for every value that can land in range)
     xi = jnp.clip(jnp.floor(px + 0.5).astype(jnp.int32), 0, W - 1)
     yi = jnp.clip(jnp.floor(py + 0.5).astype(jnp.int32), 0, H - 1)
-    return _descriptor_from_samples(gx, gy, xi, yi, w_valid, dLx, dLy), mask
+    return _descriptor_from_samples(packed, xi, yi, w_valid, dLx, dLy), mask
 
 
 def reference_gradients(gray_u8):
@@ -345,10 +384,13 @@ def lbd_descriptors_ref_exact(
     yi = np.transpose(yi, (2, 1, 0))
 
     w_valid = jnp.asarray(np.arange(max_np)[None, :] < npix[:, None])
-    gx = jnp.asarray(np.asarray(gradients[0]), jnp.float32)
-    gy = jnp.asarray(np.asarray(gradients[1]), jnp.float32)
+    packed = _pack_gradients(
+        jnp.asarray(np.asarray(gradients[0]), jnp.float32),
+        jnp.asarray(np.asarray(gradients[1]), jnp.float32),
+    )
     return _descriptor_from_samples(
-        gx, gy, jnp.asarray(xi), jnp.asarray(yi), w_valid, jnp.asarray(dL0), jnp.asarray(dL1)
+        packed, jnp.asarray(xi), jnp.asarray(yi), w_valid,
+        jnp.asarray(dL0), jnp.asarray(dL1)
     )
 
 

@@ -64,18 +64,40 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(skip)
 
 
+# Modules whose compiles are large enough to push the process toward the
+# XLA:CPU compiler-state abort (see below) even in the fast suite — the
+# round-5 suite aborted at ~92% with every module green standalone.
+_HEAVY_MODULES = (
+    "test_online_fused",
+    "test_online_slam",
+    "test_online_full",
+    "test_offline_slam",
+    "test_pipelined_frontend",
+    "test_kitti",
+    "test_point_window",
+    "test_sharded_ba",
+    "test_sharded_proposal",
+    "test_ref_oracle_parity",
+    "test_wu_fixture",
+)
+
+
 @pytest.fixture(scope="module", autouse=True)
 def _clear_jax_caches_between_slow_modules(request):
-    """Bound XLA compiler-state accumulation on long --runslow sessions.
+    """Bound XLA compiler-state accumulation in one long pytest process.
 
     Running the full slow suite (41 e2e tests) in ONE process segfaults
     deterministically inside XLA:CPU `backend_compile_and_load` at the
     ~26th test (2026-08-19, jax 0.8.x; 125 GB RAM free, so not OOM); every
-    sub-chunk of the same tests passes.  Dropping compiled executables
-    between modules keeps per-process compiler state at chunk scale.  Only
-    active under --runslow: the fast suite relies on cross-module tracing
-    caches for its runtime.
+    sub-chunk of the same tests passes.  Round 5 reproduced the same abort
+    in the grown FAST suite (~92%, all modules green standalone).
+    Dropping compiled executables between modules keeps per-process
+    compiler state at chunk scale: under --runslow after every module,
+    in the fast suite after the heavyweight e2e modules only (the rest
+    rely on cross-module tracing caches for runtime).
     """
     yield
     if request.config.getoption("--runslow"):
+        jax.clear_caches()
+    elif any(m in str(request.node.name) for m in _HEAVY_MODULES):
         jax.clear_caches()
