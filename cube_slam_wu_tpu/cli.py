@@ -106,6 +106,46 @@ def cmd_online(args):
 
     if not pathlib.Path(args.base).is_dir():
         raise SystemExit(f"error: --base {args.base!r} is not a directory")
+    if args.fused:
+        # fused single-dispatch serving path (slam/online.py): 1 blocking
+        # host sync per frame; same trajectory as the two-phase driver
+        import jax.numpy as jnp
+        import numpy as np
+
+        from cube_slam_wu_tpu.slam.online import run_online_slam_fused
+        from cube_slam_wu_tpu.slam.pipeline import SlamOutput
+
+        if args.point_weight or args.checkpoint:
+            raise SystemExit(
+                "error: --fused supports the default online config "
+                "(no --point-weight / --checkpoint yet); drop --fused for those"
+            )
+        fr = run_online_slam_fused(
+            args.base,
+            n_frames=args.frames,
+            iterations=args.iterations,
+            bbox_edge_weight=args.bbox_edge_weight,
+            window=args.window if args.window and args.window > 0 else None,
+        )
+        truth = uio.read_number_txt(
+            pathlib.Path(args.base) / "truth_cam_poses.txt"
+        )
+        n = len(fr.traj_Twc_xyzq)
+        result = SlamOutput(
+            traj_Twc_xyzq=fr.traj_Twc_xyzq,
+            cube_minimal=fr.cubes_minimal[0],
+            chi2=fr.chi2,
+            timestamps=truth[:n, 0],
+            cubes_minimal=fr.cubes_minimal,
+            cube_valid=fr.cube_valid,
+        )
+        print(
+            f"fused: {fr.syncs_per_frame:.0f} sync/frame, "
+            f"{fr.bytes_up_per_frame / 1e6:.2f} MB up / "
+            f"{fr.bytes_down_per_frame:.0f} B down; report {fr.report}"
+        )
+        _write_outputs(args.out, result, truth[:n])
+        return
     result = run_online_slam(
         args.base,
         n_frames=args.frames,
@@ -408,6 +448,12 @@ def main(argv=None):
                          "a completed one acts as a front-end cache for "
                          "backend-setting sweeps")
     pn.add_argument("--checkpoint-every", type=int, default=25)
+    pn.add_argument(
+        "--fused",
+        action="store_true",
+        help="fused single-dispatch serving path (slam/online.py): the "
+             "whole per-frame step in one jitted call, 1 host sync/frame",
+    )
     pn.add_argument(
         "--save-cloud",
         type=int,

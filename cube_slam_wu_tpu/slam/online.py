@@ -25,8 +25,9 @@ Everything the host loop used to do between kernels now lives on device:
   make_windowed_step — constant-velocity init, innovation gating, LM).
 
 Per frame the host only (a) reads the image + detection txt and ships them
-up with the dispatch, and (b) pulls the optimized pose + a handful of
-report scalars: 1 blocking sync and ~1.2 MB up / ~100 B down per frame.
+up with the dispatch (the grayscale goes as uint8 — 0.31 MB — and is cast
+to f32 on device), and (b) pulls the optimized pose + a handful of report
+scalars: 1 blocking sync and ~0.31 MB up / ~46 B down per frame.
 
 The caps-off exact-gather fallback (pipeline._exact_gather_fallback) is
 preserved inside the step as a `lax.cond`: when a binding dist_gather_cap
@@ -204,7 +205,7 @@ def make_online_step(
     (fixed first camera pose fed to the proposal engine, main_obj.cpp:
     624-628; constant-velocity BA pose init).
 
-    Returns step(state, gray_f32 (H, W), boxes_c (D, 4) corners,
+    Returns step(state, gray_u8 (H, W) uint8, boxes_c (D, 4) corners,
     det_mask (D,), i int32) -> (state', (Twc_xyzq (7,), StepReport)).
 
     Frame 0 needs its own instance (sample_cam_roll_pitch=False, the
@@ -256,9 +257,13 @@ def make_online_step(
         )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state: OnlineState, gray32, boxes_c, det_mask, i):
+    def step(state: OnlineState, gray_u8, boxes_c, det_mask, i):
         graph, book = state.graph, state.book
 
+        # the image ships as uint8 (rounded BT.601 grayscale is exactly
+        # u8-representable) — 4x fewer bytes through the host->device link
+        # than f32; cast on device.
+        gray32 = gray_u8.astype(jnp.float32)
         # ---- line detection (always f32: dtype-pinned line sets, see
         # run_online_frontend) ------------------------------------------------
         lines32, lmask = detect_line_segments(gray32, detect_cfg)
@@ -447,9 +452,9 @@ def run_online_slam_fused(
         img_path = base / "raw_imgs" / f"{i:04d}_rgb_raw.jpg"
         det_path = base / "filter_2d_obj_txts" / f"{i:04d}_yolo2_0.15.txt"
         if img_path.exists():
-            gray_np = uio.load_image_gray(img_path).astype(np.float32)
+            gray_np = uio.load_image_gray(img_path).astype(np.uint8)
         else:
-            gray_np = np.zeros((480, 640), np.float32)
+            gray_np = np.zeros((480, 640), np.uint8)
         if det_path.exists():
             boxes_c, _conf, dmask = uio.read_detections_txt(det_path, n_max=D)
         else:

@@ -46,8 +46,8 @@ def test_fused_matches_two_phase_prefix(reference_root, fused_prefix):
 
 def test_fused_transfer_contract(reference_root, fused_prefix):
     assert fused_prefix.syncs_per_frame == 1.0
-    # image (480x640 f32) + boxes up; pose + report scalars down
-    assert fused_prefix.bytes_up_per_frame < 1.3e6
+    # image (480x640 uint8) + boxes up; pose + report scalars down
+    assert fused_prefix.bytes_up_per_frame < 0.35e6
     assert fused_prefix.bytes_down_per_frame < 200
     assert fused_prefix.report["cap_fallbacks"] == 0
 
