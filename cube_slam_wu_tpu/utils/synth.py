@@ -344,6 +344,35 @@ def write_kitti_sequence(seq: SynthSequence, out_dir, detections_subdir="detecti
     return out, det_dir, poses_path
 
 
+def write_tum_sequence(seq: SynthSequence, out_dir):
+    """Write the sequence in the reference's object_slam/data layout
+    (raw_imgs/%04d_rgb_raw.jpg, filter_2d_obj_txts/%04d_yolo2_0.15.txt
+    rows [x y w h conf], truth_cam_poses.txt TUM rows) — consumable by
+    pipeline.run_online_slam and online.run_online_slam_fused.  Returns
+    the base dir."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from cube_slam_wu_tpu.core.se3 import SE3
+
+    out = pathlib.Path(out_dir)
+    (out / "raw_imgs").mkdir(parents=True, exist_ok=True)
+    (out / "filter_2d_obj_txts").mkdir(parents=True, exist_ok=True)
+    rows = []
+    for i, T in enumerate(seq.T_wc):
+        xyzq = np.asarray(SE3.from_matrix(jnp.asarray(T, jnp.float64)).to_xyzq())
+        rows.append([seq.timestamps[i], *xyzq])
+    np.savetxt(out / "truth_cam_poses.txt", np.asarray(rows), fmt="%.9f")
+    for i, (img, det) in enumerate(zip(seq.images, seq.detections)):
+        Image.fromarray(img).save(out / "raw_imgs" / f"{i:04d}_rgb_raw.jpg")
+        np.savetxt(
+            out / "filter_2d_obj_txts" / f"{i:04d}_yolo2_0.15.txt",
+            det,
+            fmt="%.3f",
+        )
+    return out
+
+
 def proposal_demo_inputs(dtype, img_hw=(192, 256), n_lines=16):
     """Rendered cuboid scene + ground-truth edge segments packaged as
     `detect_cuboid_single` inputs (gray, K, T_wc, bbox, lines, mask).
