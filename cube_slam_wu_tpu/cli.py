@@ -244,12 +244,21 @@ def cmd_detect_lines(args):
         raise SystemExit(f"error: --image {args.image!r} not found")
     import jax.numpy as jnp
 
-    from cube_slam_wu_tpu.ops.detect import detect_line_segments
+    from cube_slam_wu_tpu.ops.detect import (
+        DetectConfig,
+        detect_line_segments,
+        detect_line_segments_recover,
+    )
     from cube_slam_wu_tpu.utils import io as uio
     from cube_slam_wu_tpu.utils import viz
 
     gray = jnp.asarray(uio.load_image_gray(args.image))
-    lines, mask = detect_line_segments(gray)
+    if args.short_recovery:
+        lines, mask = detect_line_segments_recover(
+            gray, DetectConfig(short_recovery=True)
+        )
+    else:
+        lines, mask = detect_line_segments(gray)
     lines = np.asarray(lines)[np.asarray(mask)]
     out_dir = pathlib.Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -513,6 +522,12 @@ def main(argv=None):
     pl = sub.add_parser("detect-lines", help="line detection on one image")
     pl.add_argument("--image", required=True)
     pl.add_argument("--out", default="out")
+    pl.add_argument(
+        "--short-recovery",
+        action="store_true",
+        help="additive short-segment recovery pass (15-40 px recall "
+             "0.54 -> 0.75; ~2x detector cost)",
+    )
     pl.set_defaults(fn=cmd_detect_lines)
 
     pm = sub.add_parser(

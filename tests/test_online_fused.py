@@ -163,3 +163,17 @@ def test_fused_multi_object_matches_two_phase(tmp_path):
     ).max()
     assert dc < 5e-3, dc
     assert fused.report["n_measurements"] >= 8
+
+
+def test_fused_windowed_matches_two_phase(reference_root):
+    """Fixed-lag fused step (window < capacity: the CubePrior rides in
+    OnlineState, departing frames absorbed on device) vs the two-phase
+    windowed driver on a real TUM prefix."""
+    from cube_slam_wu_tpu.slam.pipeline import run_online_slam
+
+    fused = run_online_slam_fused(
+        BASE, n_frames=6, dtype=jnp.float32, window=3
+    )
+    ref = run_online_slam(BASE, n_frames=6, dtype=jnp.float32, window=3)
+    d = np.abs(fused.traj_Twc_xyzq - np.asarray(ref.traj_Twc_xyzq)).max()
+    assert d < 5e-4, d
